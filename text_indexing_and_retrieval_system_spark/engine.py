@@ -1,0 +1,278 @@
+"""High-level engine: build / load an index directory, answer queries.
+
+Query lifecycle (Spark rebuild of the reference's
+`process_custom_query`, `/root/reference/code/indexes/query_processing/
+query_processing_engine.py:549-651`):
+
+    query string ──(driver)── parse → AST → scoring terms
+      → boolean stage: semi/anti-join plan over pruned posting scans
+      → ranking stage: contribution join + deterministic-order aggregate
+        (strategy "dataframe"), or block-max bucket scorer ("wand"
+        — picked automatically for pure disjunctions, where the
+        candidate set equals the scored set)
+      → top-k (score DESC, doc_id ASC) → optional hydration join
+
+Control crosses driver→executor exactly twice per query (score pass,
+hydration), matching SURVEY.md §3.1's target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import codec
+from .functions.normalize import NormalizeConfig, normalize_query_terms
+from .operators import query_parser as qp
+from .operators import ranking, wand
+from .operators.boolean import BooleanPlanner
+from .operators.index_build import IndexBuildConfig, K1, B
+from .operators.segments import Manifests, build_index, term_bucket_py
+
+POSTINGS_SCHEMA = "term string, doc_id_int long, tf int, dl int, positions array<int>"
+
+
+def _unpack_blocks(blocks: DataFrame, with_positions: bool) -> DataFrame:
+    """Compressed block rows → exploded postings (Arrow-batched numpy)."""
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for term, payload in zip(pdf["term"], pdf["payload"]):
+                d, tf, dl, pos = codec.unpack_postings(
+                    bytes(payload), with_positions=with_positions
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id_int": d,
+                            "tf": tf.astype("int32"),
+                            "dl": dl.astype("int32"),
+                            "positions": [list(p) for p in pos]
+                            if with_positions
+                            else [None] * len(d),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                columns=["term", "doc_id_int", "tf", "dl", "positions"]
+            )
+
+    return blocks.select("term", "payload").mapInPandas(run, schema=POSTINGS_SCHEMA)
+
+
+@dataclass
+class SearchResult:
+    query: str
+    docs: list[str]
+    scores: list[float]
+
+
+class InvertedIndex:
+    """A built index on disk (postings/lexicon/doclen/docs/stats)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        man = Manifests(index_dir)
+        build_info = man.read("build") or man.read("stage3_postings")
+        cfg = (build_info or {}).get("config", {})
+        self.n_term_buckets = cfg.get("n_term_buckets", 16)
+        norm = cfg.get("normalize", {})
+        if norm:
+            norm = dict(norm)
+            norm["stopword_languages"] = tuple(norm.get("stopword_languages", ()))
+            self.normalize_cfg = NormalizeConfig(**norm)
+        else:
+            self.normalize_cfg = NormalizeConfig()
+
+    # ------------------------------ scans ------------------------------
+
+    def blocks_for(self, tokens: list[str]) -> DataFrame:
+        """Posting blocks for normalized tokens — bucket-dir pruned +
+        term predicate pushed to parquet row groups."""
+        buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
+        df = self.spark.read.parquet(os.path.join(self.dir, "postings"))
+        return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(tokens))
+
+    def postings_for(self, tokens: list[str], with_positions: bool = False) -> DataFrame:
+        return _unpack_blocks(self.blocks_for(tokens), with_positions)
+
+    def lexicon_for(self, tokens: list[str]) -> pd.DataFrame:
+        buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
+        df = self.spark.read.parquet(os.path.join(self.dir, "lexicon"))
+        return (
+            df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(tokens))
+            .select("term", "df", "cf", "idf", "max_impact", "n_blocks")
+            .toPandas()
+        )
+
+    def doclen(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "doclen"))
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "docs"))
+
+    # ----------------------------- search ------------------------------
+
+    def _query_tokens(self, node: qp.Node) -> tuple[list[tuple[int, str]], list[str]]:
+        """(scoring occurrences [(term_idx, token)], all distinct tokens
+        incl. under-NOT/phrase for prefetch)."""
+        raw_scoring = qp.scoring_terms(node)
+        occ: list[tuple[int, str]] = []
+        i = 0
+        for raw in raw_scoring:
+            for tok in normalize_query_terms([raw], self.normalize_cfg)[0]:
+                occ.append((i, tok))
+                i += 1
+        all_raw = qp.collect_positive_terms(node)
+        all_tokens: set[str] = set()
+        for raw in all_raw:
+            all_tokens.update(normalize_query_terms([raw], self.normalize_cfg)[0])
+        return occ, sorted(all_tokens)
+
+    def _is_pure_disjunction(self, node: qp.Node) -> bool:
+        kind = node[0]
+        if kind == "term":
+            return len(normalize_query_terms([node[1]], self.normalize_cfg)[0]) == 1
+        if kind == "or":
+            return self._is_pure_disjunction(node[1]) and self._is_pure_disjunction(
+                node[2]
+            )
+        return False
+
+    def search(
+        self,
+        query: str,
+        k: int = 50,
+        scorer: str = "bm25",
+        strategy: str = "auto",
+        hydrate: bool = False,
+    ) -> DataFrame:
+        """Returns DataFrame (doc_id, doc_id_int, score[, text...]) of the
+        top-k, totally ordered by (score DESC, doc_id ASC)."""
+        node = qp.parse(query)
+        occ, all_tokens = self._query_tokens(node)
+
+        if strategy == "auto":
+            strategy = "wand" if self._is_pure_disjunction(node) else "dataframe"
+
+        if strategy == "wand":
+            out = self._search_wand(node, occ, k, scorer)
+        else:
+            out = self._search_dataframe(node, occ, all_tokens, k, scorer)
+        if hydrate:
+            out = out.join(
+                self.docs().select(
+                    "doc_id_int", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+                ),
+                "doc_id_int",
+                "left",
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
+        return out
+
+    def _search_dataframe(
+        self,
+        node: qp.Node,
+        occ: list[tuple[int, str]],
+        all_tokens: list[str],
+        k: int,
+        scorer: str,
+    ) -> DataFrame:
+        needs_positions = "phrase" in _kinds(node)
+        postings = self.postings_for(all_tokens, with_positions=needs_positions)
+        # one physical scan, reused by the boolean plan and the scorer
+        postings = postings.persist()
+        try:
+            by_token = lambda t: postings.filter(F.col("term") == t)  # noqa: E731
+            planner = BooleanPlanner(by_token, self.doclen, self.normalize_cfg)
+            candidates = planner.plan(node)
+
+            if occ:
+                spark = self.spark
+                occ_df = spark.createDataFrame(
+                    [(i, t) for i, t in occ], "term_idx int, term string"
+                )
+                lex = self.lexicon_for(sorted({t for _, t in occ}))
+                lex_df = spark.createDataFrame(
+                    lex[["term", "df", "idf"]]
+                ) if len(lex) else spark.createDataFrame([], "term string, df long, idf double")
+                tp = (
+                    postings.join(F.broadcast(occ_df), "term")
+                    .join(F.broadcast(lex_df), "term")
+                    .select("term_idx", "doc_id_int", "tf", "dl", "df", "idf")
+                )
+                scored = ranking.score_candidates(
+                    candidates, tp, scorer, self.stats["avgdl"], self.stats["n_docs"]
+                )
+            else:
+                scored = candidates.select(
+                    "doc_id_int", F.lit(0.0).alias("score")
+                )
+            out = ranking.top_k(scored, self.doclen(), k)
+            out = out.localCheckpoint(eager=True)  # materialize before unpersist
+            return out
+        finally:
+            postings.unpersist()
+
+    def _search_wand(
+        self, node: qp.Node, occ: list[tuple[int, str]], k: int, scorer: str
+    ) -> DataFrame:
+        if scorer != "bm25":
+            return self._search_dataframe(node, occ, [t for _, t in occ], k, scorer)
+        tokens = sorted({t for _, t in occ})
+        lex = self.lexicon_for(tokens)
+        idf_by_term = dict(zip(lex["term"], lex["idf"]))
+        term_meta: dict[str, list[tuple[int, float]]] = {}
+        for i, t in occ:
+            if t in idf_by_term:
+                term_meta.setdefault(t, []).append((i, float(idf_by_term[t])))
+        blocks = self.blocks_for([t for t in tokens if t in idf_by_term])
+        local = wand.topk_disjunctive(blocks, term_meta, self.stats["avgdl"], k)
+        return (
+            local.join(self.doclen().select("doc_id_int", "doc_id"), "doc_id_int")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "doc_id_int", "score")
+        )
+
+    def search_collect(self, query: str, k: int = 50, **kw) -> SearchResult:
+        rows = self.search(query, k, **kw).collect()
+        return SearchResult(
+            query=query,
+            docs=[r["doc_id"] for r in rows],
+            scores=[r["score"] for r in rows],
+        )
+
+
+def _kinds(node: qp.Node) -> set[str]:
+    kind = node[0]
+    if kind in ("term", "phrase"):
+        return {kind}
+    if kind == "not":
+        return {"not"} | _kinds(node[1])
+    return {kind} | _kinds(node[1]) | _kinds(node[2])
+
+
+def build(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    cfg: IndexBuildConfig = IndexBuildConfig(),
+    input_desc: str = "",
+    **kw,
+) -> InvertedIndex:
+    build_index(spark, transcripts, index_dir, cfg, input_desc, **kw)
+    return InvertedIndex(spark, index_dir)
+
+
+def load(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    return InvertedIndex(spark, index_dir)

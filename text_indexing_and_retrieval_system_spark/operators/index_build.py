@@ -1,0 +1,292 @@
+"""Inverted-index build: transcripts → postings blocks + lexicon + doclen + stats.
+
+Spark-first redesign of the reference's single-pass dict build
+(`/root/reference/code/indexes/index_custom.py:175-252`) for 10^12-turn
+scale:
+
+  stage 0  dense conversation ids (two-phase range-sort, no global window)
+  stage 1  tokenize + per-doc posting rows via ONE mapInPandas pass
+           (doc-level pre-aggregation: emits (doc, term, tf, positions)
+           instead of a token stream → the only big shuffle moves
+           pre-combined rows); written as chunked *segments* (resumable)
+  stage 2  doclen + collection stats (N, avgdl) from segments
+  stage 3  shuffle segments to (term, doc-range bucket) → applyInPandas
+           packs doc-id-sorted blocks (delta-gap+varint payloads,
+           per-block max BM25 impact) + lexicon (term, df, cf, idf)
+  stage 4  doc store (hydration table)
+
+Skew: high-df terms are split by **contiguous doc-id ranges**
+(`range_bucket = doc_id >> range_shift`) — the salted two-level split the
+north_rule asks for, with the property that a term's blocks across
+buckets are disjoint ordered doc ranges, so block-max WAND can traverse
+them globally without a merge pass.
+
+Resumability: each stage (and each stage-1 chunk) writes to its own
+directory with a JSON manifest (lineage, row counts, timings); a
+restarted build skips every manifest-complete unit — see segments.py.
+
+doc ids: `doc_id_int = conv_int << 16 | turn_idx` where `conv_int` is the
+dense rank of `conv_id` (lexicographic). Sorting by doc_id_int equals
+sorting by (conv_id, turn_idx); the string form `conv_id:turn_idx%04d`
+mirrors the reference's string ids (`dataset_news.py:340`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import codec
+from ..functions.normalize import DEFAULT_CONFIG, NormalizeConfig, normalize_to_tokens
+
+K1 = 1.2
+B = 0.75
+TURN_BITS = 16  # turn_idx < 65536 per conversation
+
+
+@dataclass(frozen=True)
+class IndexBuildConfig:
+    normalize: NormalizeConfig = DEFAULT_CONFIG
+    block_size: int = 128
+    n_term_buckets: int = 16
+    n_range_buckets: int = 32
+    store_positions: bool = True
+    n_segment_chunks: int = 4  # resumable stage-1 granularity
+
+    def lineage(self) -> dict:
+        d = asdict(self)
+        d["normalize"] = asdict(self.normalize)
+        return d
+
+
+# --------------------------------------------------------------------------
+# stage 0 — dense conversation ids without a global single-partition window
+# --------------------------------------------------------------------------
+
+
+def assign_conv_ids(spark: SparkSession, transcripts: DataFrame, n_parts: int = 32) -> DataFrame:
+    """(conv_id) -> dense conv_int, ordered lexicographically.
+
+    Scale-safe: range-repartition by conv_id, rank within partitions
+    (window is per-partition, no single-reducer sort), then add partition
+    offsets computed from per-partition counts (tiny driver collect).
+    """
+    convs = transcripts.select("conv_id").distinct()
+    parted = convs.repartitionByRange(n_parts, "conv_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    w = Window.partitionBy("_pid").orderBy("conv_id")
+    offmap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    out = (
+        parted.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("conv_int", (offmap[F.col("_pid")] + F.col("_rn")).cast("long"))
+        .select("conv_id", "conv_int")
+    )
+    return out
+
+
+def with_doc_ids(transcripts: DataFrame, convmap: DataFrame) -> DataFrame:
+    return (
+        transcripts.join(convmap, "conv_id")
+        .withColumn(
+            "doc_id_int",
+            (F.col("conv_int") * (1 << TURN_BITS) + F.col("turn_idx")).cast("long"),
+        )
+        .withColumn(
+            "doc_id",
+            F.concat_ws(":", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 4, "0")),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 1 — tokenize + per-doc posting rows (one Arrow pass, pre-combined)
+# --------------------------------------------------------------------------
+
+SEGMENT_SCHEMA = (
+    "doc_id_int long, term string, tf int, dl int, positions array<int>"
+)
+
+
+def tokenize_to_doc_postings(docs: DataFrame, cfg: NormalizeConfig) -> DataFrame:
+    """(doc_id_int, text) → (doc_id_int, term, tf, dl, positions).
+
+    Pre-aggregates (term, doc) inside the pandas batch so the shuffle in
+    stage 3 moves one row per (doc, distinct term), not per token.
+    Docs with zero tokens emit a sentinel row (term = "", tf = 0) so dl=0
+    documents still reach the doclen table.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            token_lists = normalize_to_tokens(pdf["text"], cfg)
+            n_rows = len(pdf)
+            dls = token_lists.map(len).to_numpy(dtype=np.int64)
+            doc_ids = pdf["doc_id_int"].to_numpy(dtype=np.int64)
+            # flatten to (row_idx, pos, term) then group with pandas
+            flat_terms = [t for lst in token_lists for t in lst]
+            if flat_terms:
+                row_idx = np.repeat(np.arange(n_rows), dls)
+                pos = np.concatenate([np.arange(n, dtype=np.int64) for n in dls if n])
+                tok = pd.DataFrame(
+                    {
+                        "doc_id_int": doc_ids[row_idx],
+                        "dl": dls[row_idx],
+                        "term": flat_terms,
+                        "pos": pos,
+                    }
+                )
+                grouped = (
+                    tok.groupby(["doc_id_int", "dl", "term"], sort=False)["pos"]
+                    .agg(list)
+                    .reset_index()
+                )
+                out = pd.DataFrame(
+                    {
+                        "doc_id_int": grouped["doc_id_int"],
+                        "term": grouped["term"],
+                        "tf": grouped["pos"].map(len).astype("int32"),
+                        "dl": grouped["dl"].astype("int32"),
+                        "positions": grouped["pos"],
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    columns=["doc_id_int", "term", "tf", "dl", "positions"]
+                )
+            empty_mask = dls == 0
+            if empty_mask.any():
+                sentinel = pd.DataFrame(
+                    {
+                        "doc_id_int": doc_ids[empty_mask],
+                        "term": "",
+                        "tf": np.int32(0),
+                        "dl": np.int32(0),
+                        "positions": [[] for _ in range(int(empty_mask.sum()))],
+                    }
+                )
+                out = pd.concat([out, sentinel], ignore_index=True)
+            yield out
+
+    return docs.select("doc_id_int", "text").mapInPandas(run, schema=SEGMENT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# stage 3 — postings blocks via (term, range_bucket) shuffle
+# --------------------------------------------------------------------------
+
+BLOCKS_SCHEMA = (
+    "term string, range_bucket int, first_doc long, last_doc long, n int, "
+    "block_max_impact double, sum_tf long, payload binary"
+)
+
+
+def _block_rows_for_term(
+    term: str,
+    bucket: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list | None,
+    avgdl: float,
+    block_size: int,
+) -> list[tuple]:
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    tfs = tfs[order]
+    dls = dls[order]
+    if positions is not None:
+        positions = [positions[i] for i in order]
+    rows = []
+    # BM25 impact without idf: tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+    tf_f = tfs.astype(np.float64)
+    denom = tf_f + K1 * ((1.0 - B) + (B * dls.astype(np.float64)) / avgdl)
+    impact = tf_f * (K1 + 1.0) / denom
+    for s in range(0, doc_ids.size, block_size):
+        e = min(s + block_size, doc_ids.size)
+        pos_chunk = positions[s:e] if positions is not None else None
+        payload = codec.pack_postings(doc_ids[s:e], tfs[s:e], dls[s:e], pos_chunk)
+        rows.append(
+            (
+                term,
+                bucket,
+                int(doc_ids[s]),
+                int(doc_ids[e - 1]),
+                int(e - s),
+                float(impact[s:e].max()),
+                int(tfs[s:e].sum()),
+                payload,
+            )
+        )
+    return rows
+
+
+def build_blocks(
+    segments: DataFrame,
+    avgdl: float,
+    cfg: IndexBuildConfig,
+    range_shift: int,
+) -> DataFrame:
+    """segments → doc-id-sorted compressed blocks, one shuffle.
+
+    groupBy (term, range_bucket): contiguous doc-id ranges per bucket so
+    a hot term splits across buckets without overlapping block ranges.
+    """
+    store_pos = cfg.store_positions
+    block_size = cfg.block_size
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket = key
+        doc_ids = pdf["doc_id_int"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        positions = (
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            if store_pos
+            else None
+        )
+        rows = _block_rows_for_term(
+            term, int(bucket), doc_ids, tfs, dls, positions, avgdl, block_size
+        )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term",
+                "range_bucket",
+                "first_doc",
+                "last_doc",
+                "n",
+                "block_max_impact",
+                "sum_tf",
+                "payload",
+            ],
+        )
+
+    with_bucket = segments.filter(F.col("term") != "").withColumn(
+        "range_bucket", F.shiftrightunsigned(F.col("doc_id_int"), range_shift).cast("int")
+    )
+    return with_bucket.groupBy("term", "range_bucket").applyInPandas(
+        pack, schema=BLOCKS_SCHEMA
+    )

