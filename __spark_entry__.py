@@ -1,38 +1,217 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship BM25 top-k over sf0.001 documents.
+`queries()` / `oracle_sql()` — one entry per implemented operator family
+from SURVEY.md §2 (+ the training-data pipeline ops), each matched
+against a DuckDB ANSI-SQL oracle on the same parquet tables.
+
+Implementation lives in text_indexing_and_retrieval_system_spark/
+(operators/docquery.py, dedup.py, similarity.py, functions/textstats.py);
+the indexed engine path (compressed posting blocks + block-max scorer)
+is exercised by the pytest golden suite over the transcript corpus.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from text_indexing_and_retrieval_system_spark.functions import textstats
+from text_indexing_and_retrieval_system_spark.operators import (
+    dedup,
+    docquery,
+    similarity,
+)
+
+BM25_TERMS = ["join", "merge", "scan"]
+TFIDF_TERMS = ["hash", "filter"]
+WC_TERMS = ["row", "batch"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: free-text BM25 top-20 on the documents table."""
+    return docquery.ranked_topk(
+        _docs(spark, "/root/testdata/sf0.001"), BM25_TERMS, "bm25", k=20
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- boolean retrieval (F1-F5) ----
+    q["term_postings"] = lambda s, d: docquery.term_postings(_docs(s, d), "merge")
+    q["bool_and"] = lambda s, d: docquery.bool_and(_docs(s, d), "join", "hash")
+    q["bool_or_not"] = lambda s, d: docquery.bool_or_not(
+        _docs(s, d), "scan", "filter", "join"
+    )
+    q["phrase_match"] = lambda s, d: docquery.phrase_match(_docs(s, d), "order", "sort")
+
+    # ---- ranking (R2/R4; B2-B3 scorers) ----
+    q["bm25_topk"] = lambda s, d: docquery.ranked_topk(_docs(s, d), BM25_TERMS, "bm25")
+    q["tfidf_topk"] = lambda s, d: docquery.ranked_topk(
+        _docs(s, d), TFIDF_TERMS, "tfidf"
+    )
+    q["wordcount_topk"] = lambda s, d: docquery.ranked_topk(_docs(s, d), WC_TERMS, "wordcount")
+
+    # ---- corpus statistics (B4, P7, doclen/stats tables) ----
+    q["doclen"] = lambda s, d: docquery.doclen(_docs(s, d))
+    q["corpus_stats"] = lambda s, d: docquery.corpus_stats(_docs(s, d))
+    q["word_freq_top50"] = lambda s, d: docquery.word_freq_top(_docs(s, d), 50)
+    q["term_stats"] = lambda s, d: docquery.term_stats(_docs(s, d), min_df=100)
+
+    # ---- dedup family ----
+    q["dedup_exact"] = lambda s, d: dedup.exact_dedup_groups(_docs(s, d))
+    q["ngram_jaccard_pairs"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), n=3, threshold=0.2
+    )
+    q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(
+        _docs(s, d), n=3, n_hashes=8
+    )
+    q["lsh_candidate_pairs"] = lambda s, d: dedup.lsh_candidate_pairs(
+        _docs(s, d), n=3, n_hashes=8, rows_per_band=2
+    )
+    q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d), bits=32)
+
+    # ---- text analysis ----
+    q["token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d))
+    q["quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d))
+    q["langid"] = lambda s, d: textstats.langid(_docs(s, d))
+    q["content_fingerprint"] = lambda s, d: textstats.content_fingerprint(_docs(s, d))
+    q["rolling_fingerprints"] = lambda s, d: textstats.rolling_fingerprints(
+        _docs(s, d), window=8
+    )  # no SQL oracle (rows-only check)
+
+    # ---- similarity search ----
+    q["cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), 0, k=10)
+    q["embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
+        _emb(s, d), threshold=0.35
+    )
+    q["ann_topk_lsh"] = lambda s, d: similarity.ann_topk_lsh(
+        _emb(s, d), 0, dim=64, k=10, n_planes=8
+    )  # no SQL oracle (rows-only check)
+
+    # ---- relational operators on the TPC-H-ish tables (scan/join/agg/topk) ----
+    q["pricing_summary"] = _pricing_summary
+    q["revenue_by_nation"] = _revenue_by_nation
+    q["events_hourly"] = _events_hourly
+    return q
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_postings": docquery.sql_term_postings("merge"),
+        "bool_and": docquery.sql_bool_and("join", "hash"),
+        "bool_or_not": docquery.sql_bool_or_not("scan", "filter", "join"),
+        "phrase_match": docquery.sql_phrase("order", "sort"),
+        "bm25_topk": docquery.sql_ranked_topk(BM25_TERMS, "bm25"),
+        "tfidf_topk": docquery.sql_ranked_topk(TFIDF_TERMS, "tfidf"),
+        "wordcount_topk": docquery.sql_ranked_topk(WC_TERMS, "wordcount"),
+        "doclen": docquery.sql_doclen(),
+        "corpus_stats": docquery.sql_corpus_stats(),
+        "word_freq_top50": docquery.sql_word_freq_top(50),
+        "term_stats": docquery.sql_term_stats(min_df=100),
+        "dedup_exact": dedup.sql_exact_dedup_groups(),
+        "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(n=3, threshold=0.2),
+        "minhash_signatures": dedup.sql_minhash_signatures(n=3, n_hashes=8),
+        "lsh_candidate_pairs": dedup.sql_lsh_candidate_pairs(
+            n=3, n_hashes=8, rows_per_band=2
+        ),
+        "simhash": dedup.sql_simhash(bits=32),
+        "token_counts": textstats.sql_token_counts(),
+        "quality_scores": textstats.sql_quality_scores(),
+        "langid": textstats.sql_langid(),
+        "content_fingerprint": textstats.sql_content_fingerprint(),
+        "cosine_topk": similarity.sql_cosine_topk(0, k=10),
+        "embedding_neardup": similarity.sql_embedding_neardup_pairs(threshold=0.35),
+        "pricing_summary": """
+select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_discount), 6) as avg_disc, count(*) as count_order
+from lineitem group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items
+from lineitem join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name order by revenue desc, n_name asc
+""",
+        "events_hourly": """
+select date_trunc('hour', ts) as hour, event_type, count(*) as n_events,
+       round(sum(value), 2) as sum_value
+from events group by 1, 2 order by hour, event_type
+""",
+    }

@@ -1,0 +1,135 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Covers the two headline phases of BASELINE.json's metric:
+  1. index-build throughput (turns/sec): synthetic transcript corpus →
+     full resumable index build (tokenize, segments, blocks, lexicon)
+  2. query throughput (q/s): generated boolean/BM25 query batch against
+     the built index
+plus the operator suite over the driver testdata at $SPARK_GRAFT_SF_DIR
+(fulltext, dedup, similarity, text-analysis, relational).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from text_indexing_and_retrieval_system_spark.session import get_spark
+
+    spark = get_spark(app_name="tirs-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- operator suite over driver testdata ----
+    queries = entry_mod.queries()
+    suite = [
+        "bm25_topk", "tfidf_topk", "bool_and", "bool_or_not", "phrase_match",
+        "word_freq_top50", "term_stats", "dedup_exact", "minhash_signatures",
+        "lsh_candidate_pairs", "simhash", "quality_scores", "langid",
+        "cosine_topk", "embedding_neardup", "pricing_summary",
+        "revenue_by_nation", "events_hourly",
+    ]
+    for name in suite:
+        timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+
+    # ---- index build + query batch on transcripts ----
+    from text_indexing_and_retrieval_system_spark import engine, querygen
+    from text_indexing_and_retrieval_system_spark.operators.index_build import (
+        IndexBuildConfig,
+    )
+    from text_indexing_and_retrieval_system_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    n_convs = max(int(8000 * sf / 0.1), 200)
+    tmp = tempfile.mkdtemp(prefix="tirs_bench_idx_")
+    try:
+        tdf = generate_transcripts(spark, n_convs, seed=42)
+        tdf = tdf.persist()
+        n_turns = tdf.count()
+        t0 = time.time()
+        idx = engine.build(
+            spark,
+            tdf,
+            os.path.join(tmp, "idx"),
+            IndexBuildConfig(n_segment_chunks=2),
+            input_desc=f"bench-{n_convs}",
+        )
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+        extra["n_turns"] = n_turns
+        extra["index_build_turns_per_sec"] = round(n_turns / build_sec, 1)
+
+        # query batch: frequency pools from the lexicon, 30 queries
+        import pyspark.sql.functions as F
+
+        lex = (
+            spark.read.parquet(os.path.join(tmp, "idx", "lexicon"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(2500)
+            .toPandas()
+        )
+        freqs = list(zip(lex["term"], lex["df"]))
+        pools = querygen.pools_from_frequencies(
+            freqs,
+            querygen.PoolSpec(min_word_freq=3, high=(5, 60), mid=(61, 400), low=(401, 2400)),
+        )
+        qs = querygen.generate_queries(pools, n_queries=30, seed=11)
+        t0 = time.time()
+        n_hits = 0
+        for qtext in qs:
+            n_hits += len(idx.search_collect(qtext, k=50).docs)
+        query_sec = time.time() - t0
+        timings["query_batch_30"] = round(query_sec, 3)
+        extra["query_qps"] = round(len(qs) / query_sec, 2)
+        extra["query_hits"] = n_hits
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tirs_spark_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Scaling-efficiency evidence: same workload at local[8] vs local[32].
+
+Stand-in for the north_rule's N vs 4N executor criterion (no real
+cluster in this sandbox): identical input, identical code, two
+parallelism levels; reports build and query-batch throughput at each and
+the scaling efficiency  eff = (T_N / T_4N) / 4  (equivalently
+throughput ratio over core ratio). Writes BENCH.md.
+
+Run:  python bench_scaling.py [n_convs]
+Worker mode (one parallelism level, prints one JSON line):
+      python bench_scaling.py --worker <cores> <n_convs>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_QUERIES = 64
+N_REPEATS = 3
+
+
+def worker(cores: int, n_convs: int) -> None:
+    from text_indexing_and_retrieval_system_spark import engine, querygen
+    from text_indexing_and_retrieval_system_spark.operators.index_build import (
+        IndexBuildConfig,
+    )
+    from text_indexing_and_retrieval_system_spark.session import get_spark
+    from text_indexing_and_retrieval_system_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+    import pyspark.sql.functions as F
+
+    spark = get_spark(
+        app_name=f"tirs-scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix=f"tirs_scale_{cores}_")
+    try:
+        tdf = generate_transcripts(spark, n_convs, seed=42, partitions=cores * 2)
+        tdf = tdf.persist()
+        n_turns = tdf.count()
+
+        t0 = time.time()
+        idx = engine.build(
+            spark,
+            tdf,
+            os.path.join(tmp, "idx"),
+            IndexBuildConfig(n_segment_chunks=2, n_range_buckets=max(cores, 8)),
+            input_desc=f"scaling-{n_convs}",
+        )
+        build_sec = time.time() - t0
+
+        lex = (
+            spark.read.parquet(os.path.join(tmp, "idx", "lexicon"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(3000)
+            .toPandas()
+        )
+        pools = querygen.pools_from_frequencies(
+            list(zip(lex["term"], lex["df"])),
+            querygen.PoolSpec(min_word_freq=3, high=(5, 60), mid=(61, 400), low=(401, 2800)),
+        )
+        qs = querygen.generate_queries(pools, n_queries=N_QUERIES, seed=11)
+        # warm-up then timed repeats of the batched pass
+        idx.search_batch(qs[:4], k=50)
+        t0 = time.time()
+        hits = 0
+        for _ in range(N_REPEATS):
+            res = idx.search_batch(qs, k=50)
+            hits += sum(len(r.docs) for r in res.values())
+        query_sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "n_turns": n_turns,
+                    "build_sec": round(build_sec, 2),
+                    "build_turns_per_sec": round(n_turns / build_sec, 1),
+                    "query_sec": round(query_sec, 2),
+                    "queries_run": N_QUERIES * N_REPEATS,
+                    "query_qps": round(N_QUERIES * N_REPEATS / query_sec, 2),
+                    "hits": hits,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_convs)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+
+    r8, r32 = results[8], results[32]
+    build_speedup = r8["build_sec"] / r32["build_sec"]
+    query_speedup = r8["query_sec"] / r32["query_sec"]
+    build_eff = build_speedup / 4.0
+    query_eff = query_speedup / 4.0
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Sandbox stand-in for the north_rule's N→4N executor criterion: identical
+input and code at `local[8]` vs `local[32]` on the same host
+({os.cpu_count()} cores). Workload: full index build over {r8['n_turns']:,}
+transcript turns + {N_QUERIES}x{N_REPEATS} batched BM25 top-50 queries.
+
+| phase | local[8] | local[32] | speedup (8→32) | efficiency (vs 4.0x ideal) |
+|---|---|---|---|---|
+| index build | {r8['build_sec']} s ({r8['build_turns_per_sec']} turns/s) | {r32['build_sec']} s ({r32['build_turns_per_sec']} turns/s) | {build_speedup:.2f}x | {build_eff:.2f} |
+| query batch | {r8['query_sec']} s ({r8['query_qps']} q/s) | {r32['query_sec']} s ({r32['query_qps']} q/s) | {query_speedup:.2f}x | {query_eff:.2f} |
+
+Efficiency = speedup / (32/8). Target >= 0.8 per BASELINE.json.
+
+Raw worker outputs:
+
+```json
+{json.dumps(r8)}
+{json.dumps(r32)}
+```
+"""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Batched query pass must equal per-query ranked retrieval for
+free-text (disjunctive) queries."""
+
+
+def test_batch_matches_single(built_index, oracle_index):
+    terms = sorted(
+        oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])
+    )
+    queries = [
+        f'"{terms[0]}"',
+        f'"{terms[1]}" OR "{terms[5]}"',
+        f'"{terms[2]}" OR "{terms[10]}" OR "{terms[30]}"',
+        '"zzznonexistent"',
+    ]
+    batch = built_index.search_batch(queries, k=15)
+    for q in queries:
+        single = built_index.search_collect(q, k=15, strategy="wand")
+        want = oracle_index.search(q, k=15, scorer="bm25")
+        assert batch[q].docs == single.docs == [d for d, _ in want], q
+        assert batch[q].scores == single.scores == [s for _, s in want], q

@@ -244,6 +244,53 @@ class InvertedIndex:
             .select("doc_id", "doc_id_int", "score")
         )
 
+    def search_batch(
+        self, queries: list[str], k: int = 50
+    ) -> dict[str, SearchResult]:
+        """Batched free-text BM25 top-k: ONE distributed pass for all
+        queries (shared block scan + decode). Each query's scoring terms
+        are its normalized TERM occurrences (NOT-subtrees excluded) —
+        ranked-retrieval semantics; boolean filtering uses search()."""
+        metas: dict[int, dict[str, list[tuple[int, float]]]] = {}
+        all_tokens: set[str] = set()
+        occ_by_q: list[list[tuple[int, str]]] = []
+        for q in queries:
+            node = qp.parse(q)
+            occ, _ = self._query_tokens(node)
+            occ_by_q.append(occ)
+            all_tokens.update(t for _, t in occ)
+        if not all_tokens:
+            return {q: SearchResult(q, [], []) for q in queries}
+        lex = self.lexicon_for(sorted(all_tokens))
+        idf_by_term = dict(zip(lex["term"], lex["idf"]))
+        for qid, occ in enumerate(occ_by_q):
+            meta: dict[str, list[tuple[int, float]]] = {}
+            for i, t in occ:
+                if t in idf_by_term:
+                    meta.setdefault(t, []).append((i, float(idf_by_term[t])))
+            metas[qid] = meta
+        known = sorted({t for m in metas.values() for t in m})
+        blocks = self.blocks_for(known)
+        local = wand.topk_disjunctive_batch(blocks, metas, self.stats["avgdl"], k)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            local.join(self.doclen().select("doc_id_int", "doc_id"), "doc_id_int")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        out = {q: SearchResult(q, [], []) for q in queries}
+        for row in ranked:
+            res = out[queries[row["query_id"]]]
+            res.docs.append(row["doc_id"])
+            res.scores.append(row["score"])
+        return out
+
     def search_collect(self, query: str, k: int = 50, **kw) -> SearchResult:
         rows = self.search(query, k, **kw).collect()
         return SearchResult(

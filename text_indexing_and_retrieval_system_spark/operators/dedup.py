@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's id-level dedup (`dataset_news.py:330-343`), these
+are the content-level dedup family a 100 TB corpus pipeline needs. All
+deterministic (md5-based hashing — identical in Spark and DuckDB so the
+driver's SQL oracles can reproduce signatures bit-for-bit):
+
+- exact dedup: md5(text) groups, keeper = min doc_id (hash groupBy;
+  at scale this is one shuffle on the hash, trivially salted)
+- word-shingles: n-gram shingle sets (basis for Jaccard / MinHash)
+- n-gram Jaccard pairs: exact pairwise similarity via a shared-shingle
+  self-join (the "small corpus / verify" path — O(pairs sharing a
+  shingle), not O(n^2))
+- MinHash signatures: sig[s] = min over shingles of md5(s || '|' || sh)
+  — classic permutation-free MinHash; LSH banding buckets candidate
+  pairs so the join is on (band_id, band_hash), the scale path
+- SimHash: 32-bit fingerprint from per-token md5 prefixes, tf-weighted
+
+Spark-side everything stays in built-in functions (md5, transform,
+aggregate, explode) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .docquery import SQL_TOKS
+
+# ----------------------------- exact dedup -----------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, min_group: int = 1) -> DataFrame:
+    """(text_hash, n_dups, keeper_doc_id): one row per distinct text."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") >= min_group)
+    )
+
+
+def sql_exact_dedup_groups(min_group: int = 1) -> str:
+    return (
+        "select md5(text) as text_hash, count(*) as n_dups, "
+        "min(doc_id) as keeper_doc_id from documents "
+        f"group by text_hash having count(*) >= {min_group}"
+    )
+
+
+# ----------------------------- shingles -----------------------------
+
+
+def _toks_array(docs: DataFrame):
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, all JVM-side:
+    transform over token indices + array slice + join."""
+    toks = _toks_array(docs)
+    # sequence(a, b) is descending when b < a — guard short docs explicitly
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+SQL_SHINGLES = (
+    "select distinct doc_id, shingle from ("
+    "select doc_id, array_to_string(__toks[i + 1 : i + {n}], ' ') as shingle "
+    "from (select doc_id, list_filter(string_split_regex(lower("
+    "regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') as __toks "
+    "from documents), unnest(range(0, greatest(len(__toks) - {n} + 1, 0))) as t(i))"
+)
+
+
+def sql_shingles(n: int = 3) -> str:
+    return SQL_SHINGLES.replace("{n}", str(n))
+
+
+# ----------------------------- exact Jaccard -----------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing >= 1 shingle and
+    jaccard >= threshold. Exact; join is on shingle, so cost scales with
+    co-occurrence, not n^2."""
+    sh = shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def sql_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+with sh as ({sql_shingles(n)}),
+sz as (select doc_id, count(*) as sz from sh group by doc_id),
+inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+          from sh a join sh b using (shingle) where a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id)
+select doc_a, doc_b,
+       round(inter / (za.sz + zb.sz - inter)::double, 4) as jaccard
+from inter join sz za on doc_a = za.doc_id join sz zb on doc_b = zb.doc_id
+where round(inter / (za.sz + zb.sz - inter)::double, 4) >= {threshold}
+"""
+
+
+# ----------------------------- MinHash + LSH -----------------------------
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, sig_id, minhash): permutation-free MinHash — per seed s,
+    min over the doc's shingles of md5(s || '|' || shingle)."""
+    sh = shingles(docs, n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.array([F.lit(i) for i in range(n_hashes)])).alias("sig_id"),
+        "shingle",
+    ).withColumn(
+        "h",
+        F.md5(F.concat_ws("|", F.col("sig_id").cast("string"), F.col("shingle"))),
+    )
+    return seeded.groupBy("doc_id", "sig_id").agg(F.min("h").alias("minhash"))
+
+
+def sql_minhash_signatures(n: int = 3, n_hashes: int = 8) -> str:
+    return f"""
+with sh as ({sql_shingles(n)}),
+seeded as (select doc_id, s.sig_id, md5(s.sig_id::varchar || '|' || shingle) as h
+           from sh, (select unnest(range(0, {n_hashes})) as sig_id) s)
+select doc_id, sig_id, min(h) as minhash from seeded group by doc_id, sig_id
+"""
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b): pairs whose signatures collide in >= 1 band.
+    The scale path: the only join is on (band_id, band_hash)."""
+    sig = minhash_signatures(docs, n, n_hashes)
+    banded = (
+        sig.withColumn("band_id", (F.col("sig_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def sql_lsh_candidate_pairs(n: int = 3, n_hashes: int = 8, rows_per_band: int = 2) -> str:
+    return f"""
+with sig as ({sql_minhash_signatures(n, n_hashes)}),
+banded as (select doc_id, (sig_id // {rows_per_band}) as band_id,
+                  md5(string_agg(minhash, '|' order by minhash)) as band_hash
+           from sig group by doc_id, band_id)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from banded a join banded b using (band_id, band_hash)
+where a.doc_id < b.doc_id
+"""
+
+
+# ----------------------------- SimHash -----------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): tf-weighted 32-bit SimHash from md5-prefix
+    token hashes; bit b set iff sum over tokens of (+1 if bit set else
+    -1) > 0."""
+    toks = _toks_array(docs)
+    tok_df = docs.select("doc_id", F.explode(toks).alias("term"))
+    hashed = tok_df.withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    )
+    bit = F.explode(F.array([F.lit(b) for b in range(bits)])).alias("bit")
+    per_bit = (
+        hashed.select("doc_id", "h", bit)
+        # python wrappers require literal shift counts; the SQL functions
+        # accept expressions, so go through expr()
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftrightunsigned(h, bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def sql_simhash(bits: int = 32) -> str:
+    return f"""
+with toks as ({SQL_TOKS}),
+hashed as (select doc_id, ('0x' || substr(md5(term), 1, 8))::ubigint as h from toks),
+per_bit as (select doc_id, b.bit,
+                   sum(case when (h >> b.bit) & 1 = 1 then 1 else -1 end) as s
+            from hashed, (select unnest(range(0, {bits})) as bit) b
+            group by doc_id, b.bit)
+select doc_id,
+       sum(case when s > 0 then (1::bigint << bit) else 0 end)::bigint as simhash
+from per_bit group by doc_id
+"""

@@ -1,0 +1,262 @@
+"""Fulltext operators expressed directly over a documents DataFrame.
+
+These are the engine's operators (SURVEY.md §2: P6-P7, F1-F5, B1-B4, R2,
+R7, E8 pools) in their *composable DataFrame form* — tokenization on the
+fly, no prebuilt index — used by the driver correctness gate, where every
+query is matched 1:1 against an ANSI-SQL oracle run by DuckDB on the same
+parquet. The indexed path (compressed blocks + WAND) is exercised by the
+pytest golden suite on the transcript corpus; both paths share identical
+scoring math.
+
+Tokenizer here is the SQL-parity one (lowercase, non-alphanumeric runs →
+space, split) so the oracle can reproduce it exactly; the full reference
+pipeline (stopwords/stemming) lives in functions/normalize.py.
+
+BM25/TFIDF per SURVEY.md §2.6; scores rounded to 4 decimals on both
+sides to absorb last-ulp differences between JVM and C log()
+implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+# SQL fragment shared by every DuckDB oracle: the same tokenization
+SQL_TOKS = (
+    "select doc_id, unnest(__toks) as term, generate_subscripts(__toks, 1) - 1 as pos "
+    "from (select doc_id, list_filter(string_split_regex(lower("
+    "regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') as __toks "
+    "from documents)"
+)
+
+
+def simple_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, term, pos) — JVM-side only (split +
+    posexplode stay inside whole-stage codegen; no Python)."""
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "term")).select(
+        "doc_id", "term", "pos"
+    )
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ----------------------------- boolean (F1-F5) -----------------------------
+
+
+def term_postings(docs: DataFrame, term: str) -> DataFrame:
+    toks = simple_tokens(docs)
+    return toks.filter(F.col("term") == term).select("doc_id").distinct()
+
+
+def bool_and(docs: DataFrame, t1: str, t2: str) -> DataFrame:
+    return term_postings(docs, t1).join(
+        term_postings(docs, t2), "doc_id", "left_semi"
+    )
+
+
+def bool_or_not(docs: DataFrame, t1: str, t2: str, t3: str) -> DataFrame:
+    """(t1 OR t2) AND NOT t3."""
+    ors = term_postings(docs, t1).union(term_postings(docs, t2)).distinct()
+    return ors.join(term_postings(docs, t3), "doc_id", "left_anti")
+
+
+def phrase_match(docs: DataFrame, w1: str, w2: str) -> DataFrame:
+    """docs containing the 2-word phrase — positional adjacency join."""
+    toks = simple_tokens(docs)
+    a = toks.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == w2).select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+# --------------------------- stats (B4, P7, doclen) ---------------------------
+
+
+def doclen(docs: DataFrame) -> DataFrame:
+    toks = simple_tokens(docs)
+    return toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    return doclen(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    )
+
+
+def word_freq_top(docs: DataFrame, n: int = 50) -> DataFrame:
+    toks = simple_tokens(docs)
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def term_stats(docs: DataFrame, min_df: int = 100) -> DataFrame:
+    """lexicon view: df (docs containing term) + cf (total occurrences)."""
+    toks = simple_tokens(docs)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+# ----------------------------- ranking (R2, B2-B3) -----------------------------
+
+
+def _scored_postings(docs: DataFrame, terms: list[str], scorer: str) -> DataFrame:
+    toks = simple_tokens(docs)
+    dl = doclen(docs)
+    n_docs_avg = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf is already one row per (term, doc) — plain count, no distinct shuffle
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    p = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs_avg))
+    )
+    tfd = F.col("tf").cast("double")
+    if scorer == "wordcount":
+        contrib = tfd
+    elif scorer == "tfidf":
+        contrib = tfd * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+    elif scorer == "bm25":
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        denom = tfd + F.lit(K1) * (
+            F.lit(1.0 - B) + (F.lit(B) * F.col("dl").cast("double")) / F.col("avgdl")
+        )
+        contrib = idf * (tfd * F.lit(K1 + 1.0) / denom)
+    else:
+        raise ValueError(scorer)
+    return p.select("doc_id", contrib.alias("contrib"))
+
+
+def ranked_topk(docs: DataFrame, terms: list[str], scorer: str, k: int = 20) -> DataFrame:
+    """Free-text disjunctive top-k: sum of per-term contributions over
+    the union of posting lists; (score DESC, doc_id ASC) total order."""
+    scored = (
+        _scored_postings(docs, terms, scorer)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------ SQL oracles ------------------------------
+
+
+def sql_term_postings(term: str) -> str:
+    return (
+        f"select distinct doc_id from ({SQL_TOKS}) where term = '{term}' order by doc_id"
+    )
+
+
+def sql_bool_and(t1: str, t2: str) -> str:
+    return (
+        f"select distinct doc_id from ({SQL_TOKS}) where term = '{t1}' "
+        f"and doc_id in (select doc_id from ({SQL_TOKS}) where term = '{t2}')"
+    )
+
+
+def sql_bool_or_not(t1: str, t2: str, t3: str) -> str:
+    return (
+        f"select distinct doc_id from ({SQL_TOKS}) where term in ('{t1}', '{t2}') "
+        f"and doc_id not in (select doc_id from ({SQL_TOKS}) where term = '{t3}')"
+    )
+
+
+def sql_phrase(w1: str, w2: str) -> str:
+    return (
+        f"with p as ({SQL_TOKS}) "
+        f"select distinct a.doc_id from p a join p b on a.doc_id = b.doc_id "
+        f"and b.pos = a.pos + 1 where a.term = '{w1}' and b.term = '{w2}'"
+    )
+
+
+def sql_doclen() -> str:
+    return f"select doc_id, count(*) as dl from ({SQL_TOKS}) group by doc_id"
+
+
+def sql_corpus_stats() -> str:
+    return (
+        f"with d as (select doc_id, count(*) as dl from ({SQL_TOKS}) group by doc_id) "
+        "select count(*) as n_docs, round(avg(dl), 6) as avgdl, "
+        "sum(dl)::bigint as total_tokens from d"
+    )
+
+
+def sql_word_freq_top(n: int = 50) -> str:
+    return (
+        f"select term, count(*) as freq from ({SQL_TOKS}) group by term "
+        f"order by freq desc, term asc limit {n}"
+    )
+
+
+def sql_term_stats(min_df: int = 100) -> str:
+    return (
+        f"select term, count(distinct doc_id) as df, count(*) as cf "
+        f"from ({SQL_TOKS}) group by term having df >= {min_df} "
+        "order by df desc, term asc"
+    )
+
+
+def sql_ranked_topk(terms: list[str], scorer: str, k: int = 20) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    base = f"""
+with toks as ({SQL_TOKS}),
+d as (select doc_id, count(*) as dl from toks group by doc_id),
+s as (select count(*)::double as n, avg(dl) as avgdl from d),
+tf as (select term, doc_id, count(*) as tf from toks
+       where term in ({terms_sql}) group by term, doc_id),
+dfx as (select term, count(*) as df from tf group by term)
+"""
+    if scorer == "wordcount":
+        contrib = "tf.tf::double"
+    elif scorer == "tfidf":
+        contrib = "tf.tf::double * ln(s.n / dfx.df::double)"
+    elif scorer == "bm25":
+        contrib = (
+            "ln(1.0 + (s.n - dfx.df + 0.5) / (dfx.df + 0.5)) * "
+            f"(tf.tf::double * {K1 + 1.0} / "
+            f"(tf.tf::double + {K1} * ({1.0 - B} + ({B} * d.dl::double) / s.avgdl)))"
+        )
+    else:
+        raise ValueError(scorer)
+    return base + (
+        f"select tf.doc_id, round(sum({contrib}), 4) as score "
+        "from tf join dfx using (term) join d on tf.doc_id = d.doc_id, s "
+        "group by tf.doc_id "
+        f"order by score desc, tf.doc_id asc limit {k}"
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — fully JVM-side via zip_with +
+aggregate (no UDF, stays in codegen). Scale path: LSH random-hyperplane
+bucketing — deterministic seeded hyperplanes, candidates restricted to
+same-bucket vectors, re-scored exactly; at 100 TB the bucket join
+replaces the broadcast cross-product.
+
+Embedding near-dup pairs (for dedup pipelines): all pairs with cosine >=
+threshold via the same machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Top-k nearest to the vector with id `query_vec_id` (excluded from
+    results). Query vector is a one-row broadcast — the scan stays a
+    single pass over the embeddings table."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    joined = embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    return (
+        joined.select("vec_id", F.round(cos, round_to).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_cosine_topk(query_vec_id: int, k: int = 10, round_to: int = 4) -> str:
+    return f"""
+with q as (select embedding as q_emb from embeddings where vec_id = {query_vec_id}),
+ex as (select vec_id, unnest(embedding)::double as x,
+              generate_subscripts(embedding, 1) as i
+       from embeddings where vec_id != {query_vec_id}),
+qx as (select unnest(q_emb)::double as qx, generate_subscripts(q_emb, 1) as i from q),
+qn as (select sqrt(sum(qx * qx)) as qnorm from qx)
+select ex.vec_id,
+       round(sum(ex.x * qx.qx) / (sqrt(sum(ex.x * ex.x)) * any_value(qn.qnorm)),
+             {round_to}) as cosine
+from ex join qx using (i), qn
+group by ex.vec_id
+order by cosine desc, ex.vec_id asc limit {k}
+"""
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, round_to: int = 4
+) -> DataFrame:
+    """(vec_a, vec_b, cosine >= threshold) — exact all-pairs; at scale
+    gate with lsh_buckets first."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, round_to).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def sql_embedding_neardup_pairs(threshold: float = 0.9, round_to: int = 4) -> str:
+    return f"""
+with ex as (select vec_id, unnest(embedding)::double as x,
+                   generate_subscripts(embedding, 1) as i from embeddings),
+nrm as (select vec_id, sqrt(sum(x * x)) as nn from ex group by vec_id),
+dots as (select a.vec_id as vec_a, b.vec_id as vec_b, sum(a.x * b.x) as d
+         from ex a join ex b on a.i = b.i and a.vec_id < b.vec_id
+         group by a.vec_id, b.vec_id)
+select vec_a, vec_b, round(d / (na.nn * nb.nn), {round_to}) as cosine
+from dots join nrm na on vec_a = na.vec_id join nrm nb on vec_b = nb.vec_id
+where round(d / (na.nn * nb.nn), {round_to}) >= {threshold}
+"""
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_buckets(
+    embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 13
+) -> DataFrame:
+    """(vec_id, bucket): sign-of-projection bucket per vector. Planes are
+    literal columns (deterministic, no broadcast variable needed)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p_idx in range(n_planes):
+        plane = F.array([F.lit(float(v)) for v in planes[p_idx]])
+        proj = _dot(F.col("embedding"), plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx).cast("long")).otherwise(0)
+    return embeddings.select("vec_id", bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 13,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, restricted to the query's LSH
+    bucket (union of fewer-plane prefixes would raise recall; this is the
+    minimal bucketed variant — scale path for 10^12 vectors)."""
+    buckets = lsh_buckets(embeddings, dim, n_planes, seed)
+    qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cands = (
+        buckets.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id")
+    )
+    return cosine_topk(
+        embeddings.join(cands.union(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select("vec_id")
+        ).distinct(), "vec_id", "left_semi"),
+        query_vec_id,
+        k,
+        round_to,
+    )

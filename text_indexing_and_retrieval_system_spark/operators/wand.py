@@ -100,7 +100,7 @@ def score_bucket(
 
 def topk_disjunctive(
     blocks: DataFrame,
-    term_meta: dict[str, tuple[int, float]],
+    term_meta: dict[str, list[tuple[int, float]]],
     avgdl: float,
     k: int,
 ) -> DataFrame:
@@ -114,3 +114,82 @@ def topk_disjunctive(
         return score_bucket(pdf, term_meta, avgdl, k)
 
     return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
+
+
+BATCH_TOPK_SCHEMA = "query_id int, doc_id_int long, score double"
+
+
+def _decode_terms(pdf: pd.DataFrame, avgdl: float):
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        docs_parts, imp_parts = [], []
+        for payload in grp.sort_values("first_doc")["payload"]:
+            d, tf, dl, _ = codec.unpack_postings(bytes(payload))
+            tf_f = tf.astype(np.float64)
+            denom = tf_f + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl)
+            imp_parts.append(tf_f * (K1 + 1.0) / denom)
+            docs_parts.append(d)
+        per_term[term] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
+    return per_term
+
+
+def topk_disjunctive_batch(
+    blocks: DataFrame,
+    queries_meta: dict[int, dict[str, list[tuple[int, float]]]],
+    avgdl: float,
+    k: int,
+) -> DataFrame:
+    """Many queries in ONE distributed pass (the reference runs its whole
+    200-query benchmark sequentially, `performance_metrics.py:521-559`;
+    here the batch shares a single scan + decode of the union of posting
+    lists per bucket, and per-query scoring is a numpy loop).
+
+    Returns (query_id, doc_id_int, score) — per-bucket local top-k per
+    query; caller does the tiny global merge.
+    """
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id_int": [], "score": []}
+            ).astype({"query_id": "int32", "doc_id_int": "int64", "score": "float64"})
+        per_term = _decode_terms(pdf, avgdl)
+        frames = []
+        for qid, term_meta in queries_meta.items():
+            items = sorted(
+                (idx, t, idf)
+                for t in per_term
+                for (idx, idf) in term_meta.get(t, [])
+            )
+            if not items:
+                continue
+            q_docs = np.unique(
+                np.concatenate([per_term[t][0] for _, t, _ in items])
+            )
+            scores = np.zeros(q_docs.size, dtype=np.float64)
+            for _, term, idf in items:
+                d, imp = per_term[term]
+                scores[np.searchsorted(q_docs, d)] += idf * imp
+            if q_docs.size > k:
+                kth = np.partition(-scores, k - 1)[k - 1]
+                cand = np.flatnonzero(-scores <= kth)
+                order = np.lexsort((q_docs[cand], -scores[cand]))[:k]
+                sel = cand[order]
+            else:
+                sel = np.lexsort((q_docs, -scores))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int32(qid),
+                        "doc_id_int": q_docs[sel],
+                        "score": scores[sel],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id_int": [], "score": []}
+            ).astype({"query_id": "int32", "doc_id_int": "int64", "score": "float64"})
+        return pd.concat(frames, ignore_index=True)
+
+    return blocks.groupBy("range_bucket").applyInPandas(run, schema=BATCH_TOPK_SCHEMA)

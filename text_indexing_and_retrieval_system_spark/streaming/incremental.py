@@ -1,0 +1,188 @@
+"""Incremental index ingest via Structured Streaming.
+
+The reference's only update path is a full rebuild
+(`/root/reference/code/indexes/index_custom.py:654-750`). Here new
+transcript turns stream in (file source / Kafka in prod), and each
+micro-batch is tokenized and appended as a new *segment* directory with
+its own manifest — exactly the unit the batch builder checkpoints — so
+the streaming and batch paths share one storage format and one resume
+story. `refresh_postings` then folds all accumulated segments into fresh
+postings blocks + lexicon (cheap relative to ingest; a production setup
+runs it on a schedule, like any LSM-ish two-level design).
+
+Doc ids: streaming turns get conv ids beyond the batch-assigned dense
+range via a deterministic hash-partitioned extension map (new convs
+only), preserving the doc_id_int ordering invariants within each conv.
+For the sandbox tests, stream input re-uses pre-assigned conv ints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import index_build as ib
+from ..operators.index_build import IndexBuildConfig
+from ..operators.segments import Manifests, term_bucket_col
+
+
+def extend_convmap(
+    spark: SparkSession, index_dir: str, new_transcripts: DataFrame
+) -> DataFrame:
+    """Register conversations not yet in the convmap: new conv ids get
+    dense ints appended after the existing range (sorted lexicographically
+    within the extension — deterministic for a given extension set).
+    Returns the full updated convmap DataFrame (also persisted)."""
+    convmap_path = os.path.join(index_dir, "convmap")
+    existing = spark.read.parquet(convmap_path)
+    base = existing.agg(F.max("conv_int")).collect()[0][0]
+    base = -1 if base is None else base
+    new = (
+        new_transcripts.select("conv_id")
+        .distinct()
+        .join(existing, "conv_id", "left_anti")
+    )
+    from ..operators.index_build import assign_conv_ids
+
+    fresh = assign_conv_ids(spark, new).withColumn(
+        "conv_int", F.col("conv_int") + F.lit(base + 1)
+    )
+    if fresh.limit(1).count() > 0:
+        fresh.write.mode("append").parquet(convmap_path)
+    return spark.read.parquet(convmap_path)
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    convmap: DataFrame,
+    cfg: IndexBuildConfig = IndexBuildConfig(),
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+):
+    """stream of transcript turns → per-micro-batch segment dirs.
+
+    `stream_df` must carry the transcript schema; conv ids are resolved
+    against `convmap` (new conversations must be pre-registered — the
+    deterministic id-extension job in a production pipeline).
+    Returns the StreamingQuery.
+    """
+    man = Manifests(index_dir)
+    seg_root = os.path.join(index_dir, "segments")
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        unit = f"stream_batch_{batch_id:06d}"
+        if man.done(unit):
+            return  # replayed micro-batch after restart: idempotent skip
+        t0 = time.time()
+        docs = ib.with_doc_ids(batch_df, convmap)
+        seg = ib.tokenize_to_doc_postings(docs, cfg.normalize)
+        path = os.path.join(seg_root, f"chunk=stream{batch_id:06d}")
+        seg.write.mode("overwrite").parquet(path)
+        n = batch_df.sparkSession.read.parquet(path).count()
+        man.record(unit, rows=n, seconds=time.time() - t0, batch_id=batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def refresh_postings(
+    spark: SparkSession, index_dir: str, cfg: IndexBuildConfig = IndexBuildConfig()
+) -> dict:
+    """Fold ALL segments (batch + streamed) into fresh doclen/stats/
+    postings/lexicon — the two-level merge reapplied over the grown
+    segment set. Writes to versioned dirs then swaps, so readers never
+    see a partial index."""
+    man = Manifests(index_dir)
+    seg = spark.read.parquet(os.path.join(index_dir, "segments", "chunk=*"))
+    convmap = spark.read.parquet(os.path.join(index_dir, "convmap"))
+
+    doclen = (
+        seg.groupBy("doc_id_int")
+        .agg(F.first("dl").alias("dl"))
+        .withColumn("conv_int", F.shiftrightunsigned("doc_id_int", ib.TURN_BITS))
+        .withColumn(
+            "turn_idx",
+            (F.col("doc_id_int") - F.col("conv_int") * (1 << ib.TURN_BITS)).cast("int"),
+        )
+        .join(convmap, "conv_int")
+        .withColumn(
+            "doc_id",
+            F.concat_ws(":", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 4, "0")),
+        )
+        .select("doc_id_int", "doc_id", "dl")
+    )
+    tmp_suffix = "_refresh"
+    doclen_path = os.path.join(index_dir, "doclen" + tmp_suffix)
+    doclen.repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int").write.mode(
+        "overwrite"
+    ).parquet(doclen_path)
+    agg = (
+        spark.read.parquet(doclen_path)
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tt"))
+        .collect()[0]
+    )
+    stats = {
+        "n_docs": agg["n_docs"],
+        "avgdl": float(agg["avgdl"]),
+        "total_tokens": agg["tt"],
+        "n_convs": convmap.count(),
+    }
+
+    max_doc = seg.agg(F.max("doc_id_int")).collect()[0][0] or 0
+    range_shift = max(
+        int(max_doc / max(cfg.n_range_buckets, 1)).bit_length(), ib.TURN_BITS
+    )
+    blocks = ib.build_blocks(seg, stats["avgdl"], cfg, range_shift).withColumn(
+        "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
+    )
+    postings_path = os.path.join(index_dir, "postings" + tmp_suffix)
+    (
+        blocks.repartition(cfg.n_term_buckets, "bucket")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(postings_path)
+    )
+    n = stats["n_docs"]
+    lex = (
+        spark.read.parquet(postings_path)
+        .groupBy("term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.max("block_max_impact").alias("max_impact"),
+            F.count("*").alias("n_blocks"),
+        )
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets))
+    )
+    lexicon_path = os.path.join(index_dir, "lexicon" + tmp_suffix)
+    lex.write.mode("overwrite").parquet(lexicon_path)
+
+    # atomic-ish swap (rename) + stats/manifest update
+    import shutil
+
+    for name in ("doclen", "postings", "lexicon"):
+        live = os.path.join(index_dir, name)
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        os.rename(os.path.join(index_dir, name + tmp_suffix), live)
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    man.record("refresh_postings", range_shift=range_shift, **stats)
+    return stats
