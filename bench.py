@@ -103,15 +103,20 @@ def main() -> None:
             freqs,
             querygen.PoolSpec(min_word_freq=3, high=(5, 60), mid=(61, 400), low=(401, 2400)),
         )
-        qs = querygen.generate_queries(pools, n_queries=30, seed=11)
+        qs = querygen.generate_queries(pools, n_queries=64, seed=11)
+        idx.search_batch(qs[:4], k=50)  # warm-up
         t0 = time.time()
-        n_hits = 0
-        for qtext in qs:
-            n_hits += len(idx.search_collect(qtext, k=50).docs)
+        res = idx.search_batch(qs, k=50)
         query_sec = time.time() - t0
-        timings["query_batch_30"] = round(query_sec, 3)
+        timings["query_batch_64"] = round(query_sec, 3)
         extra["query_qps"] = round(len(qs) / query_sec, 2)
-        extra["query_hits"] = n_hits
+        extra["query_hits"] = sum(len(r.docs) for r in res.values())
+        # boolean path latency: 5 sequential full boolean/phrase queries
+        bool_qs = qs[:5]
+        t0 = time.time()
+        for qtext in bool_qs:
+            idx.search_collect(qtext, k=50, strategy="dataframe")
+        timings["boolean_5_sequential"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1,0 +1,48 @@
+"""Physical-plan audits: the optimizations we rely on must be visible in
+the actual plans (SURVEY.md §4: pushdown, pruning, broadcast, codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexing_and_retrieval_system_spark.operators import docquery
+from text_indexing_and_retrieval_system_spark.plans import explain as X
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_postings_scan_pruned(built_index):
+    blocks = built_index.blocks_for(["said"])
+    plan = X.plan_string(blocks)
+    # partition-dir pruning on the term bucket + row-group pushdown on term
+    assert X.has_partition_filter(plan, "bucket"), plan
+    assert X.has_pushed_filter(plan, "term"), plan
+
+
+def test_column_pruning_on_ranked_topk(spark):
+    docs = docquery.load_documents(spark, SF)
+    df = docquery.ranked_topk(docs, ["join", "scan"], "bm25", k=10)
+    plan = X.plan_string(df)
+    # the documents scan must read only (doc_id, text) — not lang/source
+    assert X.scan_read_schema(
+        plan, "doc_id", "text", absent=("lang", "source", "n_chars")
+    ), plan
+
+
+def test_filter_pushdown_on_documents(spark):
+    docs = docquery.load_documents(spark, SF).filter(F.col("doc_id") < 100)
+    plan = X.plan_string(docs)
+    assert X.has_pushed_filter(plan, "doc_id"), plan
+
+
+def test_broadcast_join_for_small_dim(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["revenue_by_nation"](spark, SF)
+    plan = X.plan_string(df)
+    assert X.has_broadcast_join(plan), plan
+
+
+def test_codegen_in_hot_path(spark):
+    docs = docquery.load_documents(spark, SF)
+    plan = X.plan_string(docquery.word_freq_top(docs, 10))
+    assert X.codegen_stage_count(plan) >= 1, plan

@@ -93,6 +93,7 @@ class InvertedIndex:
             self.normalize_cfg = NormalizeConfig(**norm)
         else:
             self.normalize_cfg = NormalizeConfig()
+        self._lex_cache: dict[str, dict | None] = {}
 
     # ------------------------------ scans ------------------------------
 
@@ -107,12 +108,25 @@ class InvertedIndex:
         return _unpack_blocks(self.blocks_for(tokens), with_positions)
 
     def lexicon_for(self, tokens: list[str]) -> pd.DataFrame:
-        buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
-        df = self.spark.read.parquet(os.path.join(self.dir, "lexicon"))
-        return (
-            df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(tokens))
-            .select("term", "df", "cf", "idf", "max_impact", "n_blocks")
-            .toPandas()
+        """Pruned lexicon lookup with a per-instance driver cache
+        (vocabulary is Zipfian — repeated query terms hit the cache;
+        unknown terms are negatively cached)."""
+        missing = [t for t in tokens if t not in self._lex_cache]
+        if missing:
+            buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in missing})
+            df = self.spark.read.parquet(os.path.join(self.dir, "lexicon"))
+            got = (
+                df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(missing))
+                .select("term", "df", "cf", "idf", "max_impact", "n_blocks")
+                .toPandas()
+            )
+            for rec in got.to_dict("records"):
+                self._lex_cache[rec["term"]] = rec
+            for t in missing:
+                self._lex_cache.setdefault(t, None)  # negative cache
+        rows = [self._lex_cache[t] for t in tokens if self._lex_cache.get(t)]
+        return pd.DataFrame(
+            rows, columns=["term", "df", "cf", "idf", "max_impact", "n_blocks"]
         )
 
     def doclen(self) -> DataFrame:
@@ -237,12 +251,31 @@ class InvertedIndex:
                 term_meta.setdefault(t, []).append((i, float(idf_by_term[t])))
         blocks = self.blocks_for([t for t in tokens if t in idf_by_term])
         local = wand.topk_disjunctive(blocks, term_meta, self.stats["avgdl"], k)
-        return (
-            local.join(self.doclen().select("doc_id_int", "doc_id"), "doc_id_int")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", "doc_id_int", "score")
+        # per-bucket winners are tiny (<= k x n_buckets): merge on the
+        # driver and resolve doc_id strings with one pruned point-lookup —
+        # 2 small jobs total instead of join+sort+limit stages.
+        # (doc_id_int order == doc_id string order by construction.)
+        rows = local.collect()
+        rows.sort(key=lambda r: (-r["score"], r["doc_id_int"]))
+        rows = rows[:k]
+        id_map = self._doc_ids_for([r["doc_id_int"] for r in rows])
+        out = [
+            (id_map[r["doc_id_int"]], r["doc_id_int"], r["score"]) for r in rows
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id string, doc_id_int long, score double"
         )
+
+    def _doc_ids_for(self, ids: list[int]) -> dict[int, str]:
+        if not ids:
+            return {}
+        got = (
+            self.doclen()
+            .filter(F.col("doc_id_int").isin(ids))
+            .select("doc_id_int", "doc_id")
+            .collect()
+        )
+        return {r["doc_id_int"]: r["doc_id"] for r in got}
 
     def search_batch(
         self, queries: list[str], k: int = 50
@@ -272,23 +305,23 @@ class InvertedIndex:
         known = sorted({t for m in metas.values() for t in m})
         blocks = self.blocks_for(known)
         local = wand.topk_disjunctive_batch(blocks, metas, self.stats["avgdl"], k)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        ranked = (
-            local.join(self.doclen().select("doc_id_int", "doc_id"), "doc_id_int")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank")
-            .collect()
-        )
+        # driver-side merge of per-(query, bucket) winners (tiny), then one
+        # pruned lookup for all needed doc_id strings
+        per_q: dict[int, list] = {}
+        for r in local.collect():
+            per_q.setdefault(r["query_id"], []).append(r)
+        need_ids: set[int] = set()
+        for qid, rows in per_q.items():
+            rows.sort(key=lambda r: (-r["score"], r["doc_id_int"]))
+            del rows[k:]
+            need_ids.update(r["doc_id_int"] for r in rows)
+        id_map = self._doc_ids_for(sorted(need_ids))
         out = {q: SearchResult(q, [], []) for q in queries}
-        for row in ranked:
-            res = out[queries[row["query_id"]]]
-            res.docs.append(row["doc_id"])
-            res.scores.append(row["score"])
+        for qid, rows in per_q.items():
+            res = out[queries[qid]]
+            for r in rows:
+                res.docs.append(id_map[r["doc_id_int"]])
+                res.scores.append(r["score"])
         return out
 
     def search_collect(self, query: str, k: int = 50, **kw) -> SearchResult:

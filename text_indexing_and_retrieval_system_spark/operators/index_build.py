@@ -243,50 +243,98 @@ def _block_rows_for_term(
     return rows
 
 
+_BLOCK_COLS = [
+    "term",
+    "range_bucket",
+    "first_doc",
+    "last_doc",
+    "n",
+    "block_max_impact",
+    "sum_tf",
+    "payload",
+]
+
+
 def build_blocks(
     segments: DataFrame,
     avgdl: float,
     cfg: IndexBuildConfig,
     range_shift: int,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """segments → doc-id-sorted compressed blocks, one shuffle.
 
-    groupBy (term, range_bucket): contiguous doc-id ranges per bucket so
-    a hot term splits across buckets without overlapping block ranges.
+    Shuffle key (term, range_bucket): contiguous doc-id ranges per bucket
+    so a hot term splits across buckets without overlapping block ranges.
+
+    Physical shape: repartition + sortWithinPartitions + mapInPandas with
+    a cross-batch carry buffer — NOT groupBy().applyInPandas(), which
+    pays a per-group Python/pandas round trip (measured 100x slower on a
+    Zipfian vocabulary where most (term, bucket) groups are tiny).
+    One Python invocation per Arrow batch; per-term packing is numpy.
     """
     store_pos = cfg.store_positions
     block_size = cfg.block_size
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket = key
-        doc_ids = pdf["doc_id_int"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        positions = (
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            if store_pos
-            else None
-        )
-        rows = _block_rows_for_term(
-            term, int(bucket), doc_ids, tfs, dls, positions, avgdl, block_size
-        )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term",
-                "range_bucket",
-                "first_doc",
-                "last_doc",
-                "n",
-                "block_max_impact",
-                "sum_tf",
-                "payload",
-            ],
-        )
+    def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
 
+        def pack_group(g: pd.DataFrame) -> list[tuple]:
+            doc_ids = g["doc_id_int"].to_numpy(dtype=np.int64)
+            tfs = g["tf"].to_numpy(dtype=np.int64)
+            dls = g["dl"].to_numpy(dtype=np.int64)
+            positions = (
+                [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+                if store_pos
+                else None
+            )
+            return _block_rows_for_term(
+                g["term"].iloc[0],
+                int(g["range_bucket"].iloc[0]),
+                doc_ids,
+                tfs,
+                dls,
+                positions,
+                avgdl,
+                block_size,
+            )
+
+        def emit(pdf: pd.DataFrame, complete_only: bool):
+            nonlocal pending
+            # group boundaries: rows are sorted by (term, range_bucket)
+            keys = pdf["term"].astype(str) + "\x00" + pdf["range_bucket"].astype(str)
+            codes, _ = pd.factorize(keys, sort=False)
+            boundaries = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(pdf)]])
+            rows: list[tuple] = []
+            last = len(starts) - 1
+            for gi in range(len(starts)):
+                if complete_only and gi == last:
+                    pending = pdf.iloc[starts[gi] :]
+                    break
+                rows.extend(pack_group(pdf.iloc[starts[gi] : ends[gi]]))
+            if rows:
+                yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            yield from emit(pdf, complete_only=True)
+        if pending is not None and len(pending):
+            tail, pending = pending, None
+            yield from emit(tail, complete_only=False)
+
+    if n_partitions is None:
+        n_partitions = max(cfg.n_term_buckets * 2, 16)
     with_bucket = segments.filter(F.col("term") != "").withColumn(
         "range_bucket", F.shiftrightunsigned(F.col("doc_id_int"), range_shift).cast("int")
     )
-    return with_bucket.groupBy("term", "range_bucket").applyInPandas(
-        pack, schema=BLOCKS_SCHEMA
+    return (
+        with_bucket.repartition(n_partitions, "term", "range_bucket")
+        .sortWithinPartitions("term", "range_bucket", "doc_id_int")
+        .mapInPandas(pack_partition, schema=BLOCKS_SCHEMA)
     )
