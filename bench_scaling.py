@@ -79,6 +79,12 @@ def worker(cores: int, n_convs: int) -> None:
             res = idx.search_batch(qs, k=50)
             hits += sum(len(r.docs) for r in res.values())
         query_sec = time.time() - t0
+        stages = {}
+        mdir = os.path.join(tmp, "idx", "_manifests")
+        for fn in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, fn)) as fh:
+                m = json.load(fh)
+            stages[fn[:-5]] = round(m.get("seconds", m.get("seconds_total", -1)), 2)
         print(
             json.dumps(
                 {
@@ -90,6 +96,7 @@ def worker(cores: int, n_convs: int) -> None:
                     "queries_run": N_QUERIES * N_REPEATS,
                     "query_qps": round(N_QUERIES * N_REPEATS / query_sec, 2),
                     "hits": hits,
+                    "stages": stages,
                 }
             )
         )

@@ -94,6 +94,50 @@ def ingest_stream(
     return writer.start()
 
 
+def add_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_transcripts: DataFrame,
+    cfg: IndexBuildConfig = IndexBuildConfig(),
+) -> str:
+    """Batch-append new turns as one segment chunk (reference
+    `update_index` add path, `index_custom.py:654-750` — but incremental
+    instead of delete-and-rebuild). Call refresh_postings afterwards."""
+    man = Manifests(index_dir)
+    convmap = extend_convmap(spark, index_dir, new_transcripts)
+    existing = [
+        u for u in os.listdir(man.dir) if u.startswith("update_add_")
+    ]
+    unit = f"update_add_{len(existing):06d}"
+    t0 = time.time()
+    docs = ib.with_doc_ids(new_transcripts, convmap)
+    seg = ib.tokenize_to_doc_postings(docs, cfg.normalize)
+    path = os.path.join(index_dir, "segments", f"chunk={unit}")
+    seg.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    man.record(unit, rows=n, seconds=time.time() - t0)
+    return unit
+
+
+def delete_documents(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
+    """Tombstone doc ids (string form conv:turn); refresh_postings
+    excludes tombstoned docs from every rebuilt table."""
+    doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+    hits = doclen.filter(F.col("doc_id").isin(doc_ids)).select("doc_id_int", "doc_id")
+    n = hits.count()
+    if n:
+        hits.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    return n
+
+
+def _apply_tombstones(spark: SparkSession, index_dir: str, seg: DataFrame) -> DataFrame:
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb_path):
+        tomb = spark.read.parquet(tomb_path).select("doc_id_int")
+        return seg.join(F.broadcast(tomb), "doc_id_int", "left_anti")
+    return seg
+
+
 def refresh_postings(
     spark: SparkSession, index_dir: str, cfg: IndexBuildConfig = IndexBuildConfig()
 ) -> dict:
@@ -103,6 +147,7 @@ def refresh_postings(
     see a partial index."""
     man = Manifests(index_dir)
     seg = spark.read.parquet(os.path.join(index_dir, "segments", "chunk=*"))
+    seg = _apply_tombstones(spark, index_dir, seg)
     convmap = spark.read.parquet(os.path.join(index_dir, "convmap"))
 
     doclen = (
