@@ -1,0 +1,58 @@
+"""pack_postings_batch must be wire-identical to per-block pack_postings."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_indexing_and_retrieval_system_spark.functions import codec
+
+
+@given(
+    st.lists(  # blocks: each a list of (doc_id, tf, dl)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**12),
+                st.integers(min_value=1, max_value=40),
+                st.integers(min_value=1, max_value=5000),
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_equals_per_block(blocks, with_pos):
+    rng = np.random.RandomState(7)
+    doc_ids, tfs, dls, pos_rows = [], [], [], []
+    block_starts = []
+    for blk in blocks:
+        blk = sorted(blk)
+        block_starts.append(len(doc_ids))
+        for d, tf, dl in blk:
+            doc_ids.append(d)
+            tfs.append(tf)
+            dls.append(dl)
+            pos_rows.append(np.sort(rng.choice(100000, size=tf, replace=False)))
+    doc_ids = np.array(doc_ids)
+    tfs = np.array(tfs)
+    dls = np.array(dls)
+    starts = np.array(block_starts)
+    flat = np.concatenate(pos_rows) if with_pos else None
+
+    got = codec.pack_postings_batch(doc_ids, tfs, dls, starts, flat)
+
+    ends = list(starts[1:]) + [len(doc_ids)]
+    for b, (s, e) in enumerate(zip(starts, ends)):
+        want = codec.pack_postings(
+            doc_ids[s:e],
+            tfs[s:e],
+            dls[s:e],
+            pos_rows[s:e] if with_pos else None,
+        )
+        assert got[b] == want, f"block {b} differs"
+        d, t, l, p = codec.unpack_postings(got[b], with_positions=with_pos)
+        assert list(d) == list(doc_ids[s:e])

@@ -38,11 +38,12 @@ def gap_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps)
 
 
-def varbyte_encode(numbers: np.ndarray) -> bytes:
-    """Vectorized VByte: little-endian 7-bit groups, stop bit on last byte."""
+def varbyte_encode_with_sizes(numbers: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized VByte returning (stream, bytes-per-integer array) —
+    the sizes let callers slice one big encode into per-block payloads."""
     v = np.asarray(numbers, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     if np.any(np.asarray(numbers, dtype=np.int64) < 0):
         raise ValueError("varbyte_encode requires non-negative integers")
     # bytes needed per value (loop over at most 10 shift levels, vectorized)
@@ -60,7 +61,12 @@ def varbyte_encode(numbers: np.ndarray) -> bytes:
             np.uint8
         )
     out[ends - 1] |= 128  # stop bit on the final byte of each integer
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varbyte_encode(numbers: np.ndarray) -> bytes:
+    """Vectorized VByte: little-endian 7-bit groups, stop bit on last byte."""
+    return varbyte_encode_with_sizes(numbers)[0]
 
 
 def varbyte_decode(stream: bytes) -> np.ndarray:
@@ -123,6 +129,103 @@ def pack_postings(
             chunks.append(gap_encode(pos))
         parts.append(varbyte_encode(np.concatenate(chunks) if chunks else np.empty(0)))
     return b"".join(parts)
+
+
+def pack_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    positions_flat: np.ndarray | None = None,
+) -> list[bytes]:
+    """Pack MANY blocks in one vectorized pass; wire-identical to calling
+    :func:`pack_postings` per block.
+
+    doc_ids/tfs/dls: flat row arrays (doc-id-sorted within each block).
+    block_starts: int array of B block start row-indices (ascending,
+    first = 0); block b covers rows [block_starts[b], block_starts[b+1]).
+    positions_flat: all rows' position lists concatenated (row r owns
+    tfs[r] entries), or None to omit positions.
+
+    The per-block int sequence [n][doc gaps][tfs][dls][(len,gaps)*] is
+    assembled for all blocks into one flat array with index arithmetic,
+    varbyte-encoded once, and sliced at per-block byte offsets.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n_rows = doc_ids.size
+    block_starts = np.asarray(block_starts, dtype=np.int64)
+    n_blocks = block_starts.size
+    if n_blocks == 0:
+        return []
+    block_ends = np.empty(n_blocks, dtype=np.int64)
+    block_ends[:-1] = block_starts[1:]
+    block_ends[-1] = n_rows
+    nb_rows = block_ends - block_starts  # rows per block
+
+    row_block = np.repeat(np.arange(n_blocks), nb_rows)  # block id per row
+    rel = np.arange(n_rows) - block_starts[row_block]  # row index within block
+
+    # doc gaps with per-block reset
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[block_starts] = doc_ids[block_starts]
+    if n_rows > 1 and np.any(gaps < 0):
+        raise ValueError("doc ids must be sorted ascending within each block")
+
+    with_pos = positions_flat is not None
+    if with_pos:
+        positions_flat = np.asarray(positions_flat, dtype=np.int64)
+        n_pos = positions_flat.size
+        # per-row start offsets into positions_flat
+        prow_ends = np.cumsum(tfs)
+        prow_starts = prow_ends - tfs
+        pgaps = positions_flat.copy()
+        if n_pos:
+            pgaps[1:] -= positions_flat[:-1]
+            pgaps[prow_starts[tfs > 0]] = positions_flat[prow_starts[tfs > 0]]
+        # per-row pos-int counts (len prefix + gaps)
+        row_pos_ints = 1 + tfs
+        pos_ints_per_block = np.add.reduceat(row_pos_ints, block_starts)
+    else:
+        row_pos_ints = np.zeros(n_rows, dtype=np.int64)
+        pos_ints_per_block = np.zeros(n_blocks, dtype=np.int64)
+
+    ints_per_block = 1 + 3 * nb_rows + pos_ints_per_block
+    block_int_ends = np.cumsum(ints_per_block)
+    base = block_int_ends - ints_per_block  # first int index of each block
+    total_ints = int(block_int_ends[-1])
+
+    S = np.empty(total_ints, dtype=np.int64)
+    S[base] = nb_rows  # header [n]
+    idx_gap = base[row_block] + 1 + rel
+    nbr = nb_rows[row_block]
+    S[idx_gap] = gaps
+    S[idx_gap + nbr] = tfs
+    S[idx_gap + 2 * nbr] = dls
+    if with_pos:
+        # per-row pos-int start within block (exclusive cumsum reset per block)
+        cum = np.cumsum(row_pos_ints)
+        row_sec_start_global = cum - row_pos_ints  # exclusive global cumsum
+        block_first_row_cumsum = row_sec_start_global[block_starts]
+        pstart_rel = row_sec_start_global - block_first_row_cumsum[row_block]
+        row_sec_idx = base[row_block] + 1 + 3 * nbr + pstart_rel
+        S[row_sec_idx] = tfs  # [len] prefix per row
+        if n_pos:
+            pos_row = np.repeat(np.arange(n_rows), tfs)  # row id per position
+            within = np.arange(n_pos) - prow_starts[pos_row]
+            S[row_sec_idx[pos_row] + 1 + within] = pgaps
+
+    stream, nb_bytes = varbyte_encode_with_sizes(S)
+    byte_ends = np.cumsum(nb_bytes)
+    # byte offset where each block begins/ends
+    blk_byte_end = byte_ends[block_int_ends - 1]
+    blk_byte_start = np.empty(n_blocks, dtype=np.int64)
+    blk_byte_start[0] = 0
+    blk_byte_start[1:] = blk_byte_end[:-1]
+    mv = memoryview(stream)
+    return [bytes(mv[int(s) : int(e)]) for s, e in zip(blk_byte_start, blk_byte_end)]
 
 
 def unpack_postings(payload: bytes, with_positions: bool = False):

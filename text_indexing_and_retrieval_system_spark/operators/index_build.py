@@ -203,46 +203,6 @@ BLOCKS_SCHEMA = (
 )
 
 
-def _block_rows_for_term(
-    term: str,
-    bucket: int,
-    doc_ids: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
-    positions: list | None,
-    avgdl: float,
-    block_size: int,
-) -> list[tuple]:
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = tfs[order]
-    dls = dls[order]
-    if positions is not None:
-        positions = [positions[i] for i in order]
-    rows = []
-    # BM25 impact without idf: tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
-    tf_f = tfs.astype(np.float64)
-    denom = tf_f + K1 * ((1.0 - B) + (B * dls.astype(np.float64)) / avgdl)
-    impact = tf_f * (K1 + 1.0) / denom
-    for s in range(0, doc_ids.size, block_size):
-        e = min(s + block_size, doc_ids.size)
-        pos_chunk = positions[s:e] if positions is not None else None
-        payload = codec.pack_postings(doc_ids[s:e], tfs[s:e], dls[s:e], pos_chunk)
-        rows.append(
-            (
-                term,
-                bucket,
-                int(doc_ids[s]),
-                int(doc_ids[e - 1]),
-                int(e - s),
-                float(impact[s:e].max()),
-                int(tfs[s:e].sum()),
-                payload,
-            )
-        )
-    return rows
-
-
 _BLOCK_COLS = [
     "term",
     "range_bucket",
@@ -279,43 +239,60 @@ def build_blocks(
     def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
 
-        def pack_group(g: pd.DataFrame) -> list[tuple]:
-            doc_ids = g["doc_id_int"].to_numpy(dtype=np.int64)
-            tfs = g["tf"].to_numpy(dtype=np.int64)
-            dls = g["dl"].to_numpy(dtype=np.int64)
-            positions = (
-                [np.asarray(p, dtype=np.int64) for p in g["positions"]]
-                if store_pos
-                else None
+        def pack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Pack all complete blocks of a batch in ONE vectorized pass
+            (rows sorted by (term, range_bucket, doc_id_int) upstream)."""
+            n = len(pdf)
+            terms = pdf["term"].to_numpy()
+            buckets = pdf["range_bucket"].to_numpy(dtype=np.int64)
+            doc_ids = pdf["doc_id_int"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+            group_id = np.cumsum(change) - 1
+            group_starts = np.flatnonzero(change)
+            rel = np.arange(n) - group_starts[group_id]
+            block_starts = np.flatnonzero(rel % block_size == 0)
+            block_ends = np.empty_like(block_starts)
+            block_ends[:-1] = block_starts[1:]
+            block_ends[-1] = n
+
+            positions_flat = None
+            if store_pos:
+                positions_flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+                ) if n else np.empty(0, dtype=np.int64)
+            payloads = codec.pack_postings_batch(
+                doc_ids, tfs, dls, block_starts, positions_flat
             )
-            return _block_rows_for_term(
-                g["term"].iloc[0],
-                int(g["range_bucket"].iloc[0]),
-                doc_ids,
-                tfs,
-                dls,
-                positions,
-                avgdl,
-                block_size,
+            tf_f = tfs.astype(np.float64)
+            denom = tf_f + K1 * ((1.0 - B) + (B * dls.astype(np.float64)) / avgdl)
+            impact = tf_f * (K1 + 1.0) / denom
+            return pd.DataFrame(
+                {
+                    "term": terms[block_starts],
+                    "range_bucket": buckets[block_starts].astype("int32"),
+                    "first_doc": doc_ids[block_starts],
+                    "last_doc": doc_ids[block_ends - 1],
+                    "n": (block_ends - block_starts).astype("int32"),
+                    "block_max_impact": np.maximum.reduceat(impact, block_starts),
+                    "sum_tf": np.add.reduceat(tfs, block_starts),
+                    "payload": payloads,
+                }
             )
 
-        def emit(pdf: pd.DataFrame, complete_only: bool):
-            nonlocal pending
-            # group boundaries: rows are sorted by (term, range_bucket)
-            keys = pdf["term"].astype(str) + "\x00" + pdf["range_bucket"].astype(str)
-            codes, _ = pd.factorize(keys, sort=False)
-            boundaries = np.flatnonzero(np.diff(codes)) + 1
-            starts = np.concatenate([[0], boundaries])
-            ends = np.concatenate([boundaries, [len(pdf)]])
-            rows: list[tuple] = []
-            last = len(starts) - 1
-            for gi in range(len(starts)):
-                if complete_only and gi == last:
-                    pending = pdf.iloc[starts[gi] :]
-                    break
-                rows.extend(pack_group(pdf.iloc[starts[gi] : ends[gi]]))
-            if rows:
-                yield pd.DataFrame(rows, columns=_BLOCK_COLS)
+        def split_tail(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+            """Split off the final (term, bucket) group to carry it into
+            the next Arrow batch."""
+            terms = pdf["term"].to_numpy()
+            buckets = pdf["range_bucket"].to_numpy()
+            last_t, last_b = terms[-1], buckets[-1]
+            other = (terms != last_t) | (buckets != last_b)
+            cut = int(np.flatnonzero(other)[-1]) + 1 if other.any() else 0
+            return pdf.iloc[:cut], pdf.iloc[cut:]
 
         for pdf in batches:
             if pdf.empty:
@@ -323,10 +300,11 @@ def build_blocks(
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
-            yield from emit(pdf, complete_only=True)
+            head, pending = split_tail(pdf)
+            if len(head):
+                yield pack_batch(head)
         if pending is not None and len(pending):
-            tail, pending = pending, None
-            yield from emit(tail, complete_only=False)
+            yield pack_batch(pending)
 
     if n_partitions is None:
         n_partitions = max(cfg.n_term_buckets * 2, 16)

@@ -54,6 +54,19 @@ def term_bucket_col(col, n_buckets: int):
     ).cast("int")
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job. Local-FS only (the
+    cluster path swaps in the catalog's snapshot summary)."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in globmod.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 class Manifests:
     def __init__(self, index_dir: str):
         self.dir = os.path.join(index_dir, "_manifests")
@@ -118,7 +131,7 @@ def build_index(
         t0 = time.time()
         convmap = ib.assign_conv_ids(spark, transcripts)
         convmap.write.mode("overwrite").parquet(convmap_path)
-        n_convs = spark.read.parquet(convmap_path).count()
+        n_convs = parquet_num_rows(convmap_path)
         man.record(
             "stage0_convmap", n_convs=n_convs, seconds=time.time() - t0, **lineage
         )
@@ -141,7 +154,7 @@ def build_index(
         seg = ib.tokenize_to_doc_postings(part, cfg.normalize)
         path = os.path.join(seg_root, f"chunk={chunk}")
         seg.write.mode("overwrite").parquet(path)
-        n_rows = spark.read.parquet(path).count()
+        n_rows = parquet_num_rows(path)
         man.record(
             unit,
             conv_range=[lo, hi],
@@ -212,14 +225,19 @@ def build_index(
         blocks = blocks.withColumn(
             "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
         )
+        blocks = blocks.persist()
         (
             blocks.repartition(cfg.n_term_buckets, "bucket")
             .sortWithinPartitions("term", "first_doc")
             .write.mode("overwrite")
+            # small row groups: files are term-sorted, so per-row-group
+            # min/max stats make a query's isin(terms) skip everything
+            # but the few groups holding its terms
+            .option("parquet.block.size", str(1 << 20))
             .partitionBy("bucket")
             .parquet(postings_path)
         )
-        blocks_r = spark.read.parquet(postings_path)
+        blocks_r = blocks  # reuse the persisted blocks for the lexicon agg
         n = stats["n_docs"]
         lex = (
             blocks_r.groupBy("term")
@@ -246,7 +264,8 @@ def build_index(
             .write.mode("overwrite")
             .parquet(lexicon_path)
         )
-        n_terms = spark.read.parquet(lexicon_path).count()
+        blocks.unpersist()
+        n_terms = parquet_num_rows(lexicon_path)
         man.record(
             "stage3_postings",
             n_terms=n_terms,

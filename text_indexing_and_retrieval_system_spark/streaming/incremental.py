@@ -194,6 +194,7 @@ def refresh_postings(
         blocks.repartition(cfg.n_term_buckets, "bucket")
         .sortWithinPartitions("term", "first_doc")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(1 << 20))
         .partitionBy("bucket")
         .parquet(postings_path)
     )
