@@ -38,15 +38,18 @@ def worker(cores: int, n_convs: int) -> None:
     )
     import pyspark.sql.functions as F
 
+    shuffle = int(os.environ.get("SCALE_SHUFFLE", cores * 2))
     spark = get_spark(
         app_name=f"tirs-scale-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix=f"tirs_scale_{cores}_")
     try:
-        tdf = generate_transcripts(spark, n_convs, seed=42, partitions=cores * 2)
+        # fixed input partitioning across parallelism levels (identical
+        # input layout; only the executor-side parallelism varies)
+        tdf = generate_transcripts(spark, n_convs, seed=42, partitions=64)
         tdf = tdf.persist()
         n_turns = tdf.count()
 

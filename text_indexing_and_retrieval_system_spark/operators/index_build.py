@@ -126,17 +126,56 @@ def with_doc_ids(transcripts: DataFrame, convmap: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SEGMENT_SCHEMA = (
-    "doc_id_int long, term string, tf int, dl int, positions array<int>"
+    "doc_id_int long, term string, tf int, dl int, positions binary"
 )
 
 
+def _encode_position_rows(pos_lists: list) -> list[bytes]:
+    """Per row: varbyte([len] + position gaps) — encoded ONCE here so the
+    big stage-3 shuffle moves compact binary instead of Arrow int lists,
+    and block packing is a byte concatenation (the payload positions
+    section is exactly the concatenation of these row encodings)."""
+    if not pos_lists:
+        return []
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=len(pos_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return [b""] * len(pos_lists)
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)])
+    row_ends = np.cumsum(lens)
+    row_starts = row_ends - lens
+    gaps = flat.copy()
+    gaps[1:] -= flat[:-1]
+    nz = lens > 0
+    gaps[row_starts[nz]] = flat[row_starts[nz]]
+    # interleave [len, gaps...] per row
+    n_rows = len(pos_lists)
+    out_ints = np.empty(n_rows + total, dtype=np.int64)
+    len_idx = row_starts + np.arange(n_rows)
+    out_ints[len_idx] = lens
+    mask = np.ones(n_rows + total, dtype=bool)
+    mask[len_idx] = False
+    out_ints[mask] = gaps
+    stream, nb = codec.varbyte_encode_with_sizes(out_ints)
+    ints_per_row = 1 + lens
+    row_int_ends = np.cumsum(ints_per_row)
+    byte_ends = np.cumsum(nb)
+    row_byte_end = byte_ends[row_int_ends - 1]
+    row_byte_start = np.empty(n_rows, dtype=np.int64)
+    row_byte_start[0] = 0
+    row_byte_start[1:] = row_byte_end[:-1]
+    mv = memoryview(stream)
+    return [bytes(mv[int(s) : int(e)]) for s, e in zip(row_byte_start, row_byte_end)]
+
+
 def tokenize_to_doc_postings(docs: DataFrame, cfg: NormalizeConfig) -> DataFrame:
-    """(doc_id_int, text) → (doc_id_int, term, tf, dl, positions).
+    """(doc_id_int, text) → (doc_id_int, term, tf, dl, positions binary).
 
     Pre-aggregates (term, doc) inside the pandas batch so the shuffle in
-    stage 3 moves one row per (doc, distinct term), not per token.
-    Docs with zero tokens emit a sentinel row (term = "", tf = 0) so dl=0
-    documents still reach the doclen table.
+    stage 3 moves one row per (doc, distinct term), not per token; the
+    row's position list is already varint-encoded (see
+    :func:`_encode_position_rows`). Docs with zero tokens emit a sentinel
+    row (term = "", tf = 0) so dl=0 documents still reach doclen.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,7 +208,7 @@ def tokenize_to_doc_postings(docs: DataFrame, cfg: NormalizeConfig) -> DataFrame
                         "term": grouped["term"],
                         "tf": grouped["pos"].map(len).astype("int32"),
                         "dl": grouped["dl"].astype("int32"),
-                        "positions": grouped["pos"],
+                        "positions": _encode_position_rows(grouped["pos"].to_list()),
                     }
                 )
             else:
@@ -184,7 +223,7 @@ def tokenize_to_doc_postings(docs: DataFrame, cfg: NormalizeConfig) -> DataFrame
                         "term": "",
                         "tf": np.int32(0),
                         "dl": np.int32(0),
-                        "positions": [[] for _ in range(int(empty_mask.sum()))],
+                        "positions": b"",
                     }
                 )
                 out = pd.concat([out, sentinel], ignore_index=True)
@@ -260,14 +299,25 @@ def build_blocks(
             block_ends[:-1] = block_starts[1:]
             block_ends[-1] = n
 
-            positions_flat = None
+            # core = varbyte([n] + doc gaps + tfs + dls); positions section
+            # is the concatenation of the rows' pre-encoded bytes
+            cores = codec.pack_postings_batch(doc_ids, tfs, dls, block_starts, None)
             if store_pos:
-                positions_flat = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-                ) if n else np.empty(0, dtype=np.int64)
-            payloads = codec.pack_postings_batch(
-                doc_ids, tfs, dls, block_starts, positions_flat
-            )
+                row_bytes = pdf["positions"].to_list()
+                row_lens = np.fromiter(
+                    (len(b) for b in row_bytes), dtype=np.int64, count=n
+                )
+                all_bytes = b"".join(row_bytes)
+                byte_ends = np.cumsum(row_lens)
+                blk_byte_start = byte_ends[block_starts] - row_lens[block_starts]
+                blk_byte_end = byte_ends[block_ends - 1]
+                mv = memoryview(all_bytes)
+                payloads = [
+                    core + bytes(mv[int(s) : int(e)])
+                    for core, s, e in zip(cores, blk_byte_start, blk_byte_end)
+                ]
+            else:
+                payloads = cores
             tf_f = tfs.astype(np.float64)
             denom = tf_f + K1 * ((1.0 - B) + (B * dls.astype(np.float64)) / avgdl)
             impact = tf_f * (K1 + 1.0) / denom

@@ -36,6 +36,141 @@ B = 0.75
 TOPK_SCHEMA = "doc_id_int long, score double"
 
 
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id_int": [], "score": []}).astype(
+        {"doc_id_int": "int64", "score": "float64"}
+    )
+
+
+def _decode_block(payload: bytes, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+    d, tf, dl, _ = codec.unpack_postings(bytes(payload))
+    tf_f = tf.astype(np.float64)
+    denom = tf_f + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl)
+    return d, tf_f * (K1 + 1.0) / denom
+
+
+def score_bucket_pruned(
+    pdf: pd.DataFrame,
+    term_meta: dict[str, list[tuple[int, float]]],
+    avgdl: float,
+    k: int,
+) -> tuple[pd.DataFrame, int, int]:
+    """Exact top-k with MaxScore-style block skipping (the reference's
+    thresholding/early-stopping, R5/R6, rebuilt for block granularity).
+
+    Phase A (candidate discovery): terms processed in descending upper
+    bound (ub = Σ occurrence idfs × bucket-max impact). Once the
+    certified k-th partial score θ strictly exceeds the sum of remaining
+    terms' ubs, later terms cannot introduce new top-k docs, so only
+    their blocks whose doc-id range overlaps existing candidates are
+    decoded — whole blocks are skipped using the block-max/first/last
+    metadata without touching payload bytes.
+
+    Phase B (exact rescore): contributions re-accumulated over the
+    surviving candidates in ascending term-occurrence order — the same
+    float summation order as the oracle and the DataFrame path, so
+    scores stay bit-identical. Skipped blocks provably contain no
+    candidates, so no contribution is missed.
+
+    Returns (top-k frame, n_blocks_total, n_blocks_decoded).
+    """
+    if pdf.empty:
+        return _empty_topk(), 0, 0
+
+    per_term_blocks: dict[str, pd.DataFrame] = {
+        t: grp.sort_values("first_doc")
+        for t, grp in pdf.groupby("term", sort=False)
+        if t in term_meta
+    }
+    if not per_term_blocks:
+        return _empty_topk(), int(len(pdf)), 0
+
+    idf_sum = {t: sum(idf for _, idf in term_meta[t]) for t in per_term_blocks}
+    ub = {
+        t: idf_sum[t] * float(grp["block_max_impact"].max())
+        for t, grp in per_term_blocks.items()
+    }
+    order = sorted(per_term_blocks, key=lambda t: -ub[t])
+    suffix = np.cumsum([ub[t] for t in order][::-1])[::-1]
+
+    n_total = int(len(pdf))
+    n_decoded = 0
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    cands = np.empty(0, dtype=np.int64)
+    part = np.empty(0, dtype=np.float64)
+
+    for i, term in enumerate(order):
+        grp = per_term_blocks[term]
+        theta = (
+            np.partition(part, part.size - k)[part.size - k]
+            if part.size >= k
+            else -np.inf
+        )
+        restricted = part.size >= k and suffix[i] < theta
+        firsts = grp["first_doc"].to_numpy(dtype=np.int64)
+        lasts = grp["last_doc"].to_numpy(dtype=np.int64)
+        if restricted:
+            lo = np.searchsorted(cands, firsts, side="left")
+            hi = np.searchsorted(cands, lasts, side="right")
+            keep = lo < hi  # block range contains >= 1 candidate
+        else:
+            keep = np.ones(len(grp), dtype=bool)
+        payloads = grp["payload"].to_numpy()
+        docs_parts, imp_parts = [], []
+        for j in np.flatnonzero(keep):
+            d, imp = _decode_block(payloads[j], avgdl)
+            docs_parts.append(d)
+            imp_parts.append(imp)
+        n_decoded += int(keep.sum())
+        if not docs_parts:
+            decoded[term] = (np.empty(0, dtype=np.int64), np.empty(0))
+            continue
+        d_all = np.concatenate(docs_parts)
+        imp_all = np.concatenate(imp_parts)
+        decoded[term] = (d_all, imp_all)
+        contrib = idf_sum[term] * imp_all
+        if restricted:
+            idx = np.searchsorted(cands, d_all)
+            valid = (idx < cands.size) & (cands[np.minimum(idx, cands.size - 1)] == d_all)
+            part[idx[valid]] += contrib[valid]
+        else:
+            merged = np.union1d(cands, d_all)
+            new_part = np.zeros(merged.size, dtype=np.float64)
+            new_part[np.searchsorted(merged, cands)] = part
+            np.add.at(new_part, np.searchsorted(merged, d_all), contrib)
+            cands, part = merged, new_part
+
+    if cands.size == 0:
+        return _empty_topk(), n_total, n_decoded
+
+    # phase B: exact rescore of candidates in term-occurrence order
+    occs = sorted(
+        (idx, t, idf)
+        for t in decoded
+        for (idx, idf) in term_meta.get(t, [])
+    )
+    scores = np.zeros(cands.size, dtype=np.float64)
+    for _, term, idf in occs:
+        d, imp = decoded[term]
+        if d.size == 0:
+            continue
+        idx = np.searchsorted(cands, d)
+        valid = (idx < cands.size) & (cands[np.minimum(idx, cands.size - 1)] == d)
+        scores[idx[valid]] += idf * imp[valid]
+
+    if cands.size > k:
+        kth = np.partition(-scores, k - 1)[k - 1]
+        sel_pool = np.flatnonzero(-scores <= kth)
+        sel = sel_pool[np.lexsort((cands[sel_pool], -scores[sel_pool]))[:k]]
+    else:
+        sel = np.lexsort((cands, -scores))
+    return (
+        pd.DataFrame({"doc_id_int": cands[sel], "score": scores[sel]}),
+        n_total,
+        n_decoded,
+    )
+
+
 def score_bucket(
     pdf: pd.DataFrame,
     term_meta: dict[str, tuple[int, float]],
@@ -111,7 +246,7 @@ def topk_disjunctive(
     """
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_bucket(pdf, term_meta, avgdl, k)
+        return score_bucket_pruned(pdf, term_meta, avgdl, k)[0]
 
     return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
 

@@ -51,7 +51,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.parquet.filterPushdown", "true")
         # keep large IN-lists as exact per-row-group filters (query terms)
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
