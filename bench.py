@@ -32,11 +32,15 @@ def main() -> None:
         sf = 0.1
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    from text_indexing_and_retrieval_system_spark.session import get_spark
+    from text_indexing_and_retrieval_system_spark.session import (
+        get_spark,
+        warm_python_workers,
+    )
 
     spark = get_spark(app_name="tirs-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark)
 
     import __spark_entry__ as entry_mod
 

@@ -99,3 +99,14 @@ def test_incremental_add_and_delete(spark, corpus_df, tmp_path):
     assert stats2["n_docs"] == stats1["n_docs"] - 1
     idx2 = engine.load(spark, idx_dir)
     assert victim not in idx2.search_collect('"said"', k=5).docs
+
+
+def test_es_shaped_results(built_index):
+    out = built_index.search_es_shaped('"said"', k=3)
+    hits = out["hits"]["hits"]
+    assert out["hits"]["total"]["value"] == len(hits) <= 3
+    for h in hits:
+        assert set(h) == {"_index", "_id", "_score", "_source"}
+        assert h["_source"]["text"]
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)

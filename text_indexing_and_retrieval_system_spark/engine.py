@@ -332,6 +332,34 @@ class InvertedIndex:
             scores=[r["score"] for r in rows],
         )
 
+    def search_es_shaped(self, query: str, k: int = 50, index_id: str = "tirs") -> dict:
+        """ES-shaped hits envelope, the reference's result contract
+        (`index_custom.py:789-797`, `query_processing_engine.py:639-645`):
+        {"hits": {"total": {...}, "hits": [{_index,_id,_score,_source}]}}."""
+        rows = self.search(query, k, hydrate=True).collect()
+        hits = [
+            {
+                "_index": index_id,
+                "_id": r["doc_id"],
+                "_score": r["score"],
+                "_source": {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "role": r["role"],
+                    "text": r["text"],
+                    "tool": r["tool"],
+                    "ts": None if r["ts"] is None else str(r["ts"]),
+                },
+            }
+            for r in rows
+        ]
+        return {
+            "hits": {
+                "total": {"value": len(hits), "relation": "eq"},
+                "hits": hits,
+            }
+        }
+
 
 def _kinds(node: qp.Node) -> set[str]:
     kind = node[0]

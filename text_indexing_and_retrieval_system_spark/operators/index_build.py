@@ -357,7 +357,12 @@ def build_blocks(
             yield pack_batch(pending)
 
     if n_partitions is None:
-        n_partitions = max(cfg.n_term_buckets * 2, 16)
+        try:
+            n_partitions = int(
+                segments.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            n_partitions = max(cfg.n_term_buckets * 2, 16)
     with_bucket = segments.filter(F.col("term") != "").withColumn(
         "range_bucket", F.shiftrightunsigned(F.col("doc_id_int"), range_shift).cast("int")
     )
