@@ -141,27 +141,61 @@ where round(inter / (za.sz + zb.sz - inter)::double, 4) >= {threshold}
 # ----------------------------- MinHash + LSH -----------------------------
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 8) -> DataFrame:
-    """(doc_id, sig_id, minhash): permutation-free MinHash — per seed s,
-    min over the doc's shingles of md5(s || '|' || shingle)."""
-    sh = shingles(docs, n)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.array([F.lit(i) for i in range(n_hashes)])).alias("sig_id"),
-        "shingle",
-    ).withColumn(
-        "h",
-        F.md5(F.concat_ws("|", F.col("sig_id").cast("string"), F.col("shingle"))),
+_MIX_MOD = 1 << 32
+_MIX_C = 2654435761  # Knuth multiplicative constant
+
+
+def _mix_expr(h_col, s: int):
+    # (h * (2s+1) + s * C) mod 2^32 — a universal-ish linear rehash of the
+    # 32-bit md5 prefix; products stay < 2^63 so the same arithmetic runs
+    # overflow-free in any SQL engine
+    return F.pmod(
+        h_col * F.lit(2 * s + 1) + F.lit((s * _MIX_C) % _MIX_MOD), F.lit(_MIX_MOD)
     )
-    return seeded.groupBy("doc_id", "sig_id").agg(F.min("h").alias("minhash"))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, sig_id, minhash): permutation-free MinHash.
+
+    One md5 per shingle (32-bit prefix), then `n_hashes` arithmetic
+    rehashes folded into a single groupBy with one min-aggregate per
+    seed — one shuffle over the shingle rows, no 8x explode (duplicate
+    shingles don't change a min, so no distinct pass either). 8x less
+    hashing than the md5-per-seed formulation at identical semantics."""
+    toks = _toks_array(docs)
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    hashed = docs.select(
+        "doc_id", F.explode(sh).alias("shingle")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(_mix_expr(F.col("h"), s)).alias(f"m{s}") for s in range(n_hashes)]
+    )
+    stack = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return agg.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {stack}) as (sig_id, minhash)"),
+    ).select("doc_id", "sig_id", "minhash")
 
 
 def sql_minhash_signatures(n: int = 3, n_hashes: int = 8) -> str:
     return f"""
-with sh as ({sql_shingles(n)}),
-seeded as (select doc_id, s.sig_id, md5(s.sig_id::varchar || '|' || shingle) as h
-           from sh, (select unnest(range(0, {n_hashes})) as sig_id) s)
-select doc_id, sig_id, min(h) as minhash from seeded group by doc_id, sig_id
+with sh as (select doc_id, array_to_string(__toks[i + 1 : i + {n}], ' ') as shingle
+            from (select doc_id, list_filter(string_split_regex(lower(
+                  regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') as __toks from documents),
+                 unnest(range(0, greatest(len(__toks) - {n} + 1, 0))) as t(i)),
+hashed as (select doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::bigint as h from sh)
+select doc_id, s.sig_id,
+       min((h * (2 * s.sig_id + 1) + (s.sig_id * {_MIX_C}) % {_MIX_MOD})
+           % {_MIX_MOD})::bigint as minhash
+from hashed, (select unnest(range(0, {n_hashes})) as sig_id) s
+group by doc_id, s.sig_id
 """
 
 
@@ -174,7 +208,17 @@ def lsh_candidate_pairs(
     banded = (
         sig.withColumn("band_id", (F.col("sig_id") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("minhash")),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
     )
     return (
         banded.alias("a")
@@ -191,7 +235,7 @@ def sql_lsh_candidate_pairs(n: int = 3, n_hashes: int = 8, rows_per_band: int = 
     return f"""
 with sig as ({sql_minhash_signatures(n, n_hashes)}),
 banded as (select doc_id, (sig_id // {rows_per_band}) as band_id,
-                  md5(string_agg(minhash, '|' order by minhash)) as band_hash
+                  md5(string_agg(minhash::varchar, '|' order by minhash)) as band_hash
            from sig group by doc_id, band_id)
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
 from banded a join banded b using (band_id, band_hash)
