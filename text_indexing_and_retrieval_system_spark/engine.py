@@ -80,7 +80,13 @@ class InvertedIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.dir = index_dir
-        with open(os.path.join(index_dir, "stats.json")) as f:
+        stats_path = os.path.join(index_dir, "stats.json")
+        if not os.path.exists(stats_path):
+            raise FileNotFoundError(
+                f"no built index at {index_dir} (missing stats.json — "
+                "was it dropped or never built?)"
+            )
+        with open(stats_path) as f:
             self.stats = json.load(f)
         man = Manifests(index_dir)
         build_info = man.read("build") or man.read("stage3_postings")
