@@ -118,9 +118,158 @@ def worker(cores: int, n_convs: int) -> None:
         spark.stop()
 
 
+PHASE_STAGE_DIR = "/dev/shm/tirs_phase_stage"
+
+
+def stage_phase_inputs(n_convs: int) -> None:
+    """Pre-build (once, untimed, at full parallelism) the inputs the
+    isolated phase benchmarks read: raw transcripts + tokenized segments
+    + a full index."""
+    import json as _json
+
+    from text_indexing_and_retrieval_system_spark import engine
+    from text_indexing_and_retrieval_system_spark.operators.index_build import (
+        IndexBuildConfig,
+    )
+    from text_indexing_and_retrieval_system_spark.session import get_spark
+    from text_indexing_and_retrieval_system_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    marker = os.path.join(PHASE_STAGE_DIR, f"ready_{n_convs}.json")
+    if os.path.exists(marker):
+        return
+    spark = get_spark(app_name="tirs-phase-stage", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = generate_transcripts(spark, n_convs, seed=42, partitions=64)
+    df.write.mode("overwrite").parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))
+    tdf = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))
+    engine.build(
+        spark,
+        tdf,
+        os.path.join(PHASE_STAGE_DIR, "idx"),
+        IndexBuildConfig(n_segment_chunks=2, n_range_buckets=32),
+        input_desc=f"phase-stage-{n_convs}",
+    )
+    with open(marker, "w") as f:
+        _json.dump({"n_convs": n_convs}, f)
+    spark.stop()
+
+
+def worker_phases(cores: int, n_convs: int) -> None:
+    """Time the executor-dominated kernels as single jobs on pre-staged
+    input — isolates per-executor compute from driver/commit constants
+    (the component that actually multiplies across a 1000-executor
+    cluster)."""
+    from text_indexing_and_retrieval_system_spark import engine, querygen
+    from text_indexing_and_retrieval_system_spark.operators import index_build as ib
+    from text_indexing_and_retrieval_system_spark.operators.index_build import (
+        IndexBuildConfig,
+    )
+    from text_indexing_and_retrieval_system_spark.session import (
+        get_spark,
+        warm_python_workers,
+    )
+    import pyspark.sql.functions as F
+
+    spark = get_spark(
+        app_name=f"tirs-phase-{cores}", master=f"local[{cores}]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark)
+    cfg = IndexBuildConfig(n_segment_chunks=2, n_range_buckets=32)
+    out = {"cores": cores}
+
+    tdf = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))
+    convmap = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "convmap"))
+    docs = ib.with_doc_ids(tdf, convmap)
+    n_turns = tdf.count()
+    out["n_turns"] = n_turns
+
+    t0 = time.time()
+    n_seg = ib.tokenize_to_doc_postings(docs, cfg.normalize).count()
+    out["tokenize_sec"] = round(time.time() - t0, 2)
+    out["tokenize_turns_per_sec"] = round(n_turns / out["tokenize_sec"], 1)
+    out["segment_rows"] = n_seg
+
+    segments = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "segments", "chunk=*"))
+    with open(os.path.join(PHASE_STAGE_DIR, "idx", "stats.json")) as f:
+        avgdl = json.load(f)["avgdl"]
+    t0 = time.time()
+    ib.build_blocks(segments, avgdl, cfg, 30, n_partitions=32).count()
+    out["pack_sec"] = round(time.time() - t0, 2)
+    out["pack_rows_per_sec"] = round(n_seg / out["pack_sec"], 1)
+
+    idx = engine.load(spark, os.path.join(PHASE_STAGE_DIR, "idx"))
+    lex = (
+        spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "lexicon"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(3000)
+        .toPandas()
+    )
+    pools = querygen.pools_from_frequencies(
+        list(zip(lex["term"], lex["df"])),
+        querygen.PoolSpec(min_word_freq=3, high=(5, 60), mid=(61, 400), low=(401, 2800)),
+    )
+    qs = querygen.generate_queries(pools, n_queries=256, seed=11)
+    idx.search_batch(qs[:8], k=50)  # warm scan
+    t0 = time.time()
+    res = idx.search_batch(qs, k=50)
+    out["query_sec"] = round(time.time() - t0, 2)
+    out["query_qps"] = round(len(qs) / out["query_sec"], 2)
+    out["hits"] = sum(len(r.docs) for r in res.values())
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--stage":
+        stage_phase_inputs(int(sys.argv[2]))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--worker-phases":
+        worker_phases(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--phases":
+        n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 96000
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", str(n_convs)],
+            check=True,
+        )
+        res = {}
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-phases", str(cores), str(n_convs)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            res[cores] = json.loads(line)
+            print(line)
+        r8, r32 = res[8], res[32]
+        rows = []
+        for phase in ("tokenize", "pack", "query"):
+            s8, s32 = r8[f"{phase}_sec"], r32[f"{phase}_sec"]
+            rows.append(
+                f"| {phase} | {s8} s | {s32} s | {s8 / s32:.2f}x | {s8 / s32 / 4:.2f} |"
+            )
+        table = (
+            "\n## Isolated executor-phase scaling (single jobs, pre-staged input)\n\n"
+            f"{r8['n_turns']:,} turns / {r8['segment_rows']:,} posting rows / 256-query batch.\n"
+            "These phases are what each of N executors runs at 10^12-turn scale;\n"
+            "driver/commit constants are excluded by construction.\n\n"
+            "| phase | local[8] | local[32] | speedup | efficiency |\n|---|---|---|---|---|\n"
+            + "\n".join(rows)
+            + "\n\n```json\n"
+            + json.dumps(r8)
+            + "\n"
+            + json.dumps(r32)
+            + "\n```\n"
+        )
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
+            f.write(table)
+        print(table)
         return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))

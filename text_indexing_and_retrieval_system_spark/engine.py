@@ -311,15 +311,16 @@ class InvertedIndex:
         known = sorted({t for m in metas.values() for t in m})
         blocks = self.blocks_for(known)
         local = wand.topk_disjunctive_batch(blocks, metas, self.stats["avgdl"], k)
-        # driver-side merge of per-(query, bucket) winners (tiny), then one
-        # pruned lookup for all needed doc_id strings
+        # distributed per-query merge of the bucket winners (cuts the
+        # driver collect from k x n_buckets x n_queries rows to k x
+        # n_queries), then one pruned lookup for doc_id strings
+        merged = wand.merge_query_topk(local, k)
         per_q: dict[int, list] = {}
-        for r in local.collect():
+        for r in merged.collect():
             per_q.setdefault(r["query_id"], []).append(r)
         need_ids: set[int] = set()
         for qid, rows in per_q.items():
             rows.sort(key=lambda r: (-r["score"], r["doc_id_int"]))
-            del rows[k:]
             need_ids.update(r["doc_id_int"] for r in rows)
         id_map = self._doc_ids_for(sorted(need_ids))
         out = {q: SearchResult(q, [], []) for q in queries}

@@ -328,3 +328,23 @@ def topk_disjunctive_batch(
         return pd.concat(frames, ignore_index=True)
 
     return blocks.groupBy("range_bucket").applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
+
+
+def merge_query_topk(local: DataFrame, k: int) -> DataFrame:
+    """Merge per-(query, bucket) winners to a global per-query top-k
+    inside Spark (one small shuffle on query_id) so the driver collects
+    only k rows per query."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = pdf["doc_id_int"].to_numpy(dtype=np.int64)
+        scores = pdf["score"].to_numpy(dtype=np.float64)
+        if docs.size > k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            pool = np.flatnonzero(-scores <= kth)
+            sel = pool[np.lexsort((docs[pool], -scores[pool]))[:k]]
+        else:
+            sel = np.lexsort((docs, -scores))
+        out = pdf.iloc[sel][["query_id", "doc_id_int", "score"]]
+        return out
+
+    return local.groupBy("query_id").applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
