@@ -115,14 +115,25 @@ def normalize_to_tokens(texts: pd.Series, cfg: NormalizeConfig = DEFAULT_CONFIG)
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _normalize_one_cached(term: str, cfg: NormalizeConfig) -> tuple[str, ...]:
+    return tuple(normalize_to_tokens(pd.Series([term]), cfg).iloc[0])
+
+
 def normalize_query_terms(
     terms: list[str], cfg: NormalizeConfig = DEFAULT_CONFIG
 ) -> list[list[str]]:
     """Normalize query terms/phrases with the identical pipeline.
 
     One token-list per input string (a TERM may normalize to 0, 1, or N
-    tokens; a PHRASE body normalizes to its token sequence).
+    tokens; a PHRASE body normalizes to its token sequence). Memoized per
+    (term, config) — query batches repeat pool terms heavily and the
+    per-call pandas pipeline overhead (~4 ms) dominates driver-side
+    parsing otherwise.
     """
     if not terms:
         return []
-    return [list(toks) for toks in normalize_to_tokens(pd.Series(terms), cfg)]
+    return [list(_normalize_one_cached(t, cfg)) for t in terms]
