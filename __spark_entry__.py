@@ -33,11 +33,43 @@ TFIDF_TERMS = ["hash", "filter"]
 WC_TERMS = ["row", "batch"]
 
 
+_SHIPPED_TO: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers regardless
+    of how the session was launched (the spark-submit --py-files story,
+    done lazily): zip the package and addPyFile it once per context."""
+    ctx_id = id(spark.sparkContext)
+    if ctx_id in _SHIPPED_TO:
+        return
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = "text_indexing_and_retrieval_system_spark"
+    zpath = os.path.join(tempfile.gettempdir(), f"tirs_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _, files in os.walk(os.path.join(root, pkg)):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, root))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added or unsupported — executor PYTHONPATH may cover it
+    _SHIPPED_TO.add(ctx_id)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
