@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pricing_summary"] = _pricing_summary
     q["revenue_by_nation"] = _revenue_by_nation
     q["events_hourly"] = _events_hourly
+    q["user_sessions"] = _user_sessions
     return q
 
 
@@ -197,6 +198,53 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (window functions): sessions split at >30-min gaps
+    per user; per-user session count + largest session."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet TIMESTAMP is NTZ here; epoch seconds via tz cast (session UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_SESSIONS = """
+with marked as (
+  select user_id, ts,
+         case when lag(ts) over (partition by user_id order by ts) is null
+                   or epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts)) > 1800
+              then 1 else 0 end as new_sess
+  from events),
+sess as (select user_id, ts,
+                sum(new_sess) over (partition by user_id order by ts
+                                    rows between unbounded preceding and current row) as sess_id
+         from marked),
+per_sess as (select user_id, sess_id, count(*) as n_events from sess group by 1, 2)
+select user_id, count(*) as n_sessions, max(n_events) as max_session_events
+from per_sess group by user_id order by user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -42,11 +42,30 @@ def _empty_topk() -> pd.DataFrame:
     )
 
 
+_DECODE_CACHE: dict[tuple[bytes, float], tuple[np.ndarray, np.ndarray]] = {}
+_DECODE_CACHE_MAX = 200_000  # blocks; ~100-300 MB worst case per executor
+
+
 def _decode_block(payload: bytes, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
-    d, tf, dl, _ = codec.unpack_postings(bytes(payload))
+    """Payload → (doc_ids, impacts), memoized per executor process.
+
+    Query batches share Zipfian pool terms, so the same hot blocks decode
+    over and over; executors are long-lived, so an in-process cache keyed
+    by (payload bytes, avgdl) amortizes the decode the way a real engine
+    keeps hot posting lists paged in."""
+    if not isinstance(payload, bytes):
+        payload = bytes(payload)
+    key = (payload, avgdl)
+    got = _DECODE_CACHE.get(key)
+    if got is not None:
+        return got
+    d, tf, dl, _ = codec.unpack_postings(payload)
     tf_f = tf.astype(np.float64)
     denom = tf_f + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl)
-    return d, tf_f * (K1 + 1.0) / denom
+    out = (d, tf_f * (K1 + 1.0) / denom)
+    if len(_DECODE_CACHE) < _DECODE_CACHE_MAX:
+        _DECODE_CACHE[key] = out
+    return out
 
 
 def score_bucket_pruned(
@@ -259,11 +278,9 @@ def _decode_terms(pdf: pd.DataFrame, avgdl: float):
     for term, grp in pdf.groupby("term", sort=False):
         docs_parts, imp_parts = [], []
         for payload in grp.sort_values("first_doc")["payload"]:
-            d, tf, dl, _ = codec.unpack_postings(bytes(payload))
-            tf_f = tf.astype(np.float64)
-            denom = tf_f + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl)
-            imp_parts.append(tf_f * (K1 + 1.0) / denom)
+            d, imp = _decode_block(bytes(payload), avgdl)
             docs_parts.append(d)
+            imp_parts.append(imp)
         per_term[term] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
     return per_term
 
