@@ -143,10 +143,11 @@ def build_index(
     # ---------------- stage 1: tokenized segments (chunked) ----------------
     seg_root = os.path.join(index_dir, "segments")
     n_chunks = cfg.n_segment_chunks
-    for chunk in range(n_chunks):
+
+    def run_chunk(chunk: int) -> None:
         unit = f"stage1_chunk_{chunk:03d}"
         if man.done(unit):
-            continue
+            return
         t0 = time.time()
         lo = chunk * n_convs // n_chunks
         hi = (chunk + 1) * n_convs // n_chunks
@@ -154,16 +155,28 @@ def build_index(
         seg = ib.tokenize_to_doc_postings(part, cfg.normalize)
         path = os.path.join(seg_root, f"chunk={chunk}")
         seg.write.mode("overwrite").parquet(path)
-        n_rows = parquet_num_rows(path)
         man.record(
             unit,
             conv_range=[lo, hi],
-            rows=n_rows,
+            rows=parquet_num_rows(path),
             seconds=time.time() - t0,
             **lineage,
         )
-        if fail_after_chunk is not None and chunk == fail_after_chunk:
-            raise RuntimeError(f"simulated crash after {unit}")
+
+    if fail_after_chunk is not None:
+        # test hook path: strictly sequential so the crash point is exact
+        for chunk in range(n_chunks):
+            run_chunk(chunk)
+            if chunk == fail_after_chunk:
+                raise RuntimeError(f"simulated crash after stage1_chunk_{chunk:03d}")
+    else:
+        # chunks are independent writes — submit concurrently (Spark's
+        # scheduler interleaves the jobs; manifests still per-chunk, so
+        # resume granularity is unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(n_chunks, 4)) as pool:
+            list(pool.map(run_chunk, range(n_chunks)))
 
     segments = spark.read.parquet(os.path.join(seg_root, "chunk=*"))
 
@@ -189,18 +202,27 @@ def build_index(
             )
             .select("doc_id_int", "doc_id", "dl")
         )
-        doclen.repartitionByRange(
-            max(cfg.n_range_buckets // 4, 1), "doc_id_int"
-        ).sortWithinPartitions("doc_id_int").write.mode("overwrite").parquet(doclen_path)
-        agg = (
-            spark.read.parquet(doclen_path)
-            .agg(
-                F.count("*").alias("n_docs"),
+        # collection stats ride along with the write job via observe()
+        # (exactly-once metrics, no second aggregation job)
+        from pyspark.sql import Observation
+
+        obs = Observation("doclen_stats")
+        # observe ABOVE the range exchange: repartitionByRange runs a
+        # sampling pass over its child, which would double-count an
+        # observation placed below it
+        (
+            doclen.repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
                 F.avg("dl").alias("avgdl"),
                 F.sum("dl").alias("total_tokens"),
             )
-            .collect()[0]
+            .sortWithinPartitions("doc_id_int")
+            .write.mode("overwrite")
+            .parquet(doclen_path)
         )
+        agg = obs.get
         stats = {
             "n_docs": agg["n_docs"],
             "avgdl": float(agg["avgdl"]),
