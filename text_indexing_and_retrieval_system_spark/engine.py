@@ -31,7 +31,7 @@ from .functions.normalize import NormalizeConfig, normalize_query_terms
 from .operators import query_parser as qp
 from .operators import ranking, wand
 from .operators.boolean import BooleanPlanner
-from .operators.index_build import IndexBuildConfig, K1, B
+from .operators.index_build import IndexBuildConfig
 from .operators.segments import Manifests, build_index, term_bucket_py
 
 POSTINGS_SCHEMA = "term string, doc_id_int long, tf int, dl int, positions array<int>"
@@ -275,12 +275,18 @@ class InvertedIndex:
     def _doc_ids_for(self, ids: list[int]) -> dict[int, str]:
         if not ids:
             return {}
-        got = (
-            self.doclen()
-            .filter(F.col("doc_id_int").isin(ids))
-            .select("doc_id_int", "doc_id")
-            .collect()
-        )
+        if len(ids) <= 256:
+            # small: literal IN-list gets parquet min/max pruning
+            scan = self.doclen().filter(F.col("doc_id_int").isin(ids))
+        else:
+            # large: an IN-list of thousands of literals makes Catalyst
+            # plan compilation itself the bottleneck (measured ~9 s at
+            # 12k ids); broadcast-join a one-column id relation instead
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id_int long"
+            )
+            scan = self.doclen().join(F.broadcast(ids_df), "doc_id_int")
+        got = scan.select("doc_id_int", "doc_id").collect()
         return {r["doc_id_int"]: r["doc_id"] for r in got}
 
     def search_batch(

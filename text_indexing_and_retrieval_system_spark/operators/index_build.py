@@ -33,10 +33,7 @@ mirrors the reference's string ids (`dataset_news.py:340`).
 
 from __future__ import annotations
 
-import json
-import math
 import os
-import time
 from collections.abc import Iterator
 from dataclasses import asdict, dataclass
 

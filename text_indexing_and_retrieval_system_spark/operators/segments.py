@@ -28,9 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-import math
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession

@@ -16,7 +16,7 @@ The word-frequency distribution itself is the reference's P7 operator
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
