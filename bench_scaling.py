@@ -1,4 +1,4 @@
-"""Scaling-efficiency evidence: same workload at local[8] vs local[32].
+"""Scaling-efficiency evidence: same workload at local[N] vs local[4N].
 
 Stand-in for the north_rule's N vs 4N executor criterion (no real
 cluster in this sandbox): identical input, identical code, two
@@ -328,7 +328,7 @@ below).
 | index build | {r8['build_sec']} s ({r8['build_turns_per_sec']} turns/s) | {r32['build_sec']} s ({r32['build_turns_per_sec']} turns/s) | {build_speedup:.2f}x | {build_eff:.2f} |
 | query batch ({N_QUERIES}) | {r8['query_sec']} s ({r8['query_qps']} q/s) | {r32['query_sec']} s ({r32['query_qps']} q/s) | {query_speedup:.2f}x | {query_eff:.2f} |
 
-Efficiency = speedup / (32/8). Target >= 0.8 per BASELINE.json.
+Efficiency = speedup / (4N/N = 4). Target >= 0.8 per BASELINE.json.
 
 ## Honest read of the sandbox numbers
 
