@@ -238,8 +238,15 @@ class InvertedIndex:
                     "doc_id_int", F.lit(0.0).alias("score")
                 )
             out = ranking.top_k(scored, self.doclen(), k)
-            out = out.localCheckpoint(eager=True)  # materialize before unpersist
-            return out
+            # materialize the k winners before unpersisting the shared
+            # postings scan; k rows — rebuilding a local DataFrame is far
+            # cheaper than a checkpoint job
+            rows = [
+                (r["doc_id"], r["doc_id_int"], r["score"]) for r in out.collect()
+            ]
+            return self.spark.createDataFrame(
+                rows, "doc_id string, doc_id_int long, score double"
+            )
         finally:
             postings.unpersist()
 
