@@ -294,4 +294,5 @@ select date_trunc('hour', ts) as hour, event_type, count(*) as n_events,
        round(sum(value), 2) as sum_value
 from events group by 1, 2 order by hour, event_type
 """,
+        "user_sessions": SQL_USER_SESSIONS,
     }
