@@ -124,16 +124,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["content_fingerprint"] = lambda s, d: textstats.content_fingerprint(_docs(s, d))
     q["rolling_fingerprints"] = lambda s, d: textstats.rolling_fingerprints(
         _docs(s, d), window=8
-    )  # no SQL oracle (rows-only check)
+    )
 
     # ---- similarity search ----
     q["cosine_topk"] = lambda s, d: similarity.cosine_topk(_emb(s, d), 0, k=10)
     q["embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
         _emb(s, d), threshold=0.35
     )
+    q["embedding_neardup_lsh"] = lambda s, d: similarity.embedding_neardup_lsh(
+        _emb(s, d), dim=64, threshold=0.35, n_planes=4
+    )
     q["ann_topk_lsh"] = lambda s, d: similarity.ann_topk_lsh(
         _emb(s, d), 0, dim=64, k=10, n_planes=8
-    )  # no SQL oracle (rows-only check)
+    )
 
     # ---- relational operators on the TPC-H-ish tables (scan/join/agg/topk) ----
     q["pricing_summary"] = _pricing_summary
@@ -271,8 +274,13 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textstats.sql_quality_scores(),
         "langid": textstats.sql_langid(),
         "content_fingerprint": textstats.sql_content_fingerprint(),
+        "rolling_fingerprints": textstats.sql_rolling_fingerprints(window=8),
         "cosine_topk": similarity.sql_cosine_topk(0, k=10),
         "embedding_neardup": similarity.sql_embedding_neardup_pairs(threshold=0.35),
+        "embedding_neardup_lsh": similarity.sql_embedding_neardup_lsh(
+            dim=64, threshold=0.35, n_planes=4
+        ),
+        "ann_topk_lsh": similarity.sql_ann_topk_lsh(0, dim=64, k=10, n_planes=8),
         "pricing_summary": """
 select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
        round(sum(l_extendedprice), 2) as sum_base_price,

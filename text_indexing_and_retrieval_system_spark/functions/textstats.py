@@ -145,7 +145,7 @@ def sql_content_fingerprint() -> str:
 def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
     """(doc_id, n_windows, min_fp): winnowing-style windowed fingerprints
     — md5 per token window, min selected (deterministic representative).
-    Spark-only (no SQL oracle wired): checked rows-only by the driver."""
+    Docs shorter than the window get n_windows=0 / min_fp=null."""
     from ..operators.dedup import _shingle_array
 
     base = docs.select("doc_id", _toks(F.col("text")).alias("__toks"))
@@ -155,3 +155,18 @@ def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
         F.size(fps).alias("n_windows"),
         F.array_min(fps).alias("min_fp"),
     )
+
+
+def sql_rolling_fingerprints(window: int = 8) -> str:
+    """DuckDB twin: explode the same token windows, md5 each, aggregate;
+    left join preserves docs with fewer than `window` tokens."""
+    return f"""
+with b as (select doc_id,
+  list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') as __toks
+  from documents),
+w as (select doc_id, md5(array_to_string(__toks[i + 1 : i + {window}], ' ')) as fp
+      from b, unnest(range(0, greatest(len(__toks) - {window} + 1, 0))) as t(i)),
+agg as (select doc_id, count(*) as n_windows, min(fp) as min_fp from w group by doc_id)
+select b.doc_id, coalesce(agg.n_windows, 0)::bigint as n_windows, agg.min_fp
+from b left join agg using (doc_id)
+"""

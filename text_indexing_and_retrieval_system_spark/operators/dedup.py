@@ -106,7 +106,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     """(doc_a, doc_b, jaccard) for pairs sharing >= 1 shingle and
     jaccard >= threshold. Exact; join is on shingle, so cost scales with
     co-occurrence, not n^2."""
-    sh = shingles(docs, n).persist()
+    # no persist: the a/b self-join shuffles identical child plans, so
+    # Catalyst's ReusedExchange materializes the shingle shuffle once;
+    # `sizes` pays one extra tokenize scan instead of leaking a cached
+    # relation per call (round-1 verdict wrong-#5)
+    sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -255,31 +259,40 @@ where a.doc_id < b.doc_id
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): tf-weighted 32-bit SimHash from md5-prefix
     token hashes; bit b set iff sum over tokens of (+1 if bit set else
-    -1) > 0."""
-    toks = _toks_array(docs)
-    tok_df = docs.select("doc_id", F.explode(toks).alias("term"))
-    hashed = tok_df.withColumn(
-        "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    -1) > 0 — equivalently iff 2 * count(tokens with bit set) > n_tokens.
+
+    Zero-shuffle formulation: hash the token array once into a bound
+    column (md5 per token — NOT inside the per-bit lambdas, see the
+    Catalyst-inlining lesson in `_shingle_array`), then evaluate the 32
+    per-bit majority votes as array `filter` sizes per row. Replaces the
+    round-1 explode(tokens x bits) plan that pushed a 32x row blowup
+    through a groupBy shuffle (verdict wrong-#3)."""
+    base = docs.select("doc_id", _toks_array(docs).alias("__toks"))
+    harr = F.transform(
+        F.col("__toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    bit = F.explode(F.array([F.lit(b) for b in range(bits)])).alias("bit")
-    per_bit = (
-        hashed.select("doc_id", "h", bit)
-        # python wrappers require literal shift counts; the SQL functions
-        # accept expressions, so go through expr()
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftrightunsigned(h, bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
-            ).otherwise(0)
-        ).alias("simhash")
-    )
+    # empty docs have no votes — drop them (matches the exploded
+    # formulation and the SQL oracle, where zero token rows -> no group)
+    hashed = base.select("doc_id", harr.alias("__h")).filter(F.size("__h") > 0)
+    n_tok = F.size(F.col("__h")).cast("long")
+
+    def n_set_col(b: int):
+        # single-arg lambda only — F.filter treats a second lambda
+        # parameter as the element index
+        return F.size(
+            F.filter(
+                F.col("__h"),
+                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        ).cast("long")
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            n_set_col(b) * 2 > n_tok, F.lit(1 << b).cast("long")
+        ).otherwise(0)
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def sql_simhash(bits: int = 32) -> str:

@@ -74,32 +74,12 @@ order by cosine desc, ex.vec_id asc limit {k}
 """
 
 
-def embedding_neardup_pairs(
-    embeddings: DataFrame,
-    threshold: float = 0.9,
-    round_to: int = 4,
-    n_blocks: int = 8,
-) -> DataFrame:
-    """(vec_a, vec_b, cosine >= threshold) — exact all-pairs via blocked
-    numpy GEMM: vectors are hash-partitioned into n_blocks groups, the
-    n_blocks^2/2 group pairs are scored as dense matrix products inside
-    one mapInPandas pass (a row-at-a-time higher-order-function cross
-    join is ~100x slower). At 10^12 scale, gate candidate pairs with
-    lsh_buckets first and feed only colliding blocks through this."""
+def _gemm_pair_scorer(threshold: float, round_to: int):
+    """mapInPandas kernel over block-pair rows (vs_a, vs_b, same_blk):
+    dense numpy GEMM per pair, emit (vec_a, vec_b, cosine >= threshold).
+    For same-block pairs each unordered pair appears twice in the matrix,
+    so only the id-upper-triangle is kept."""
     import pandas as pd
-
-    e = embeddings.groupBy(
-        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
-    ).agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
-    )
-    pairs = (
-        e.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
-        .crossJoin(
-            e.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
-        )
-        .filter(F.col("blk_a") <= F.col("blk_b"))
-    )
 
     def score(batches):
         for pdf in batches:
@@ -118,9 +98,7 @@ def embedding_neardup_pairs(
                 cos = (mat_a @ mat_b.T) / np.outer(na, nb)
                 cos = np.round(cos, round_to)
                 keep = cos >= threshold
-                if row["blk_a"] == row["blk_b"]:
-                    # same block: each unordered pair appears twice in the
-                    # matrix — keep the upper triangle by id
+                if row["same_blk"]:
                     keep &= ids_a[:, None] < ids_b[None, :]
                 ii, jj = np.nonzero(keep)
                 if ii.size:
@@ -142,7 +120,91 @@ def embedding_neardup_pairs(
                 )
             )
 
-    return pairs.mapInPandas(score, schema="vec_a long, vec_b long, cosine double")
+    return score
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    round_to: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine >= threshold) — exact all-pairs via blocked
+    numpy GEMM: vectors are hash-partitioned into n_blocks groups, the
+    n_blocks^2/2 group pairs are scored as dense matrix products inside
+    one mapInPandas pass (a row-at-a-time higher-order-function cross
+    join is ~100x slower).
+
+    This is the SMALL-N VERIFIER: it materializes the whole table into
+    n_blocks collect_list rows and scores O(n^2/2) pairs. The default
+    scale path is `embedding_neardup_lsh`, which restricts the GEMM to
+    same-LSH-bucket candidates with bounded per-group size."""
+    e = embeddings.groupBy(
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
+    ).agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
+    )
+    pairs = (
+        e.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
+        .crossJoin(
+            e.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
+        )
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .withColumn("same_blk", F.col("blk_a") == F.col("blk_b"))
+    )
+    return pairs.mapInPandas(
+        _gemm_pair_scorer(threshold, round_to),
+        schema="vec_a long, vec_b long, cosine double",
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    round_to: int = 4,
+    n_planes: int = 16,
+    seed: int = 13,
+    max_block: int = 4096,
+) -> DataFrame:
+    """LSH-gated near-dup pairs — the 100 TB default path.
+
+    Pipeline: sign-of-projection buckets (deterministic literal
+    hyperplanes) -> per-bucket blocked GEMM. Only same-bucket pairs are
+    scored, so compute is O(sum over buckets of |bucket|^2), not O(n^2),
+    and the only wide operations are one bucket groupBy and one
+    same-bucket join. Executor memory is bounded: each bucket is
+    salt-split into ceil(|bucket| / max_block) sub-blocks (hot/boilerplate
+    buckets split into many), so no collect_list group exceeds max_block
+    vectors. Recall = LSH bucket recall (pairs split across buckets are
+    missed — that IS the operator's contract; `embedding_neardup_pairs`
+    is the exact verifier at small n)."""
+    b = lsh_buckets(embeddings, dim, n_planes, seed)
+    e = embeddings.join(b, "vec_id")
+    sizes = e.groupBy("bucket").agg(F.count("*").alias("__bsz"))
+    e = e.join(F.broadcast(sizes), "bucket").withColumn(
+        "nsub", F.ceil(F.col("__bsz") / F.lit(max_block)).cast("int")
+    )
+    g = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.col("nsub")))
+        .groupBy("bucket", "blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+    )
+    pairs = (
+        g.select("bucket", F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
+        .join(
+            g.select(
+                "bucket", F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b")
+            ),
+            "bucket",
+        )
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .withColumn("same_blk", F.col("blk_a") == F.col("blk_b"))
+    )
+    return pairs.mapInPandas(
+        _gemm_pair_scorer(threshold, round_to),
+        schema="vec_a long, vec_b long, cosine double",
+    )
 
 
 def sql_embedding_neardup_pairs(threshold: float = 0.9, round_to: int = 4) -> str:
@@ -162,6 +224,82 @@ where round(d / (na.nn * nb.nn), {round_to}) >= {threshold}
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def _sql_planes_values(dim: int, n_planes: int, seed: int) -> str:
+    """The seeded hyperplanes as a SQL VALUES literal (p, i, w) — i is
+    1-based to match generate_subscripts. repr() round-trips the float64
+    exactly, so the oracle sees bit-identical plane weights."""
+    pl = hyperplanes(dim, n_planes, seed)
+    return ", ".join(
+        f"({p}, {i + 1}, {float(pl[p, i])!r})"
+        for p in range(n_planes)
+        for i in range(dim)
+    )
+
+
+def _sql_buckets_cte(dim: int, n_planes: int, seed: int) -> str:
+    """CTE chain computing the same sign-of-projection buckets as
+    `lsh_buckets`. `sum(x * w ORDER BY i)` forces sequential accumulation
+    in array order — the exact fold `_dot` performs — so projection signs
+    (hence buckets) match Spark bit-for-bit."""
+    return f"""
+planes(p, i, w) as (values {_sql_planes_values(dim, n_planes, seed)}),
+exb as (select vec_id, unnest(embedding)::double as x,
+               generate_subscripts(embedding, 1) as i from embeddings),
+proj as (select vec_id, p, sum(x * w order by i) as pr
+         from exb join planes using (i) group by vec_id, p),
+buckets as (select vec_id,
+                   sum(case when pr > 0 then (1::bigint << p) else 0 end)::bigint as bucket
+            from proj group by vec_id)"""
+
+
+def sql_ann_topk_lsh(
+    query_vec_id: int,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 13,
+    round_to: int = 4,
+) -> str:
+    return f"""
+with {_sql_buckets_cte(dim, n_planes, seed)},
+qb as (select bucket from buckets where vec_id = {query_vec_id}),
+cand as (select b.vec_id from buckets b, qb
+         where b.bucket = qb.bucket and b.vec_id != {query_vec_id}),
+q as (select embedding as q_emb from embeddings where vec_id = {query_vec_id}),
+ex as (select vec_id, x, i from exb
+       where vec_id in (select vec_id from cand)),
+qx as (select unnest(q_emb)::double as qx, generate_subscripts(q_emb, 1) as i from q),
+qn as (select sqrt(sum(qx * qx)) as qnorm from qx)
+select ex.vec_id,
+       round(sum(ex.x * qx.qx) / (sqrt(sum(ex.x * ex.x)) * any_value(qn.qnorm)),
+             {round_to}) as cosine
+from ex join qx using (i), qn
+group by ex.vec_id
+order by cosine desc, ex.vec_id asc limit {k}
+"""
+
+
+def sql_embedding_neardup_lsh(
+    dim: int,
+    threshold: float = 0.9,
+    round_to: int = 4,
+    n_planes: int = 16,
+    seed: int = 13,
+) -> str:
+    return f"""
+with {_sql_buckets_cte(dim, n_planes, seed)},
+nrm as (select vec_id, sqrt(sum(x * x)) as nn from exb group by vec_id),
+dots as (select a.vec_id as vec_a, b.vec_id as vec_b, sum(a.x * b.x) as d
+         from exb a join exb b on a.i = b.i and a.vec_id < b.vec_id
+         join buckets ba on a.vec_id = ba.vec_id
+         join buckets bb on b.vec_id = bb.vec_id and ba.bucket = bb.bucket
+         group by a.vec_id, b.vec_id)
+select vec_a, vec_b, round(d / (na.nn * nb.nn), {round_to}) as cosine
+from dots join nrm na on vec_a = na.vec_id join nrm nb on vec_b = nb.vec_id
+where round(d / (na.nn * nb.nn), {round_to}) >= {threshold}
+"""
 
 
 def lsh_buckets(
