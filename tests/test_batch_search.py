@@ -18,3 +18,16 @@ def test_batch_matches_single(built_index, oracle_index):
         want = oracle_index.search(q, k=15, scorer="bm25")
         assert batch[q].docs == single.docs == [d for d, _ in want], q
         assert batch[q].scores == single.scores == [s for _, s in want], q
+
+
+def test_batch_duplicate_queries(built_index, oracle_index):
+    """Repeated query strings (CLI 'batch' with duplicate lines) must not
+    double the result lists — answered once, keyed by string."""
+    terms = sorted(
+        oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])
+    )
+    q = f'"{terms[0]}"'
+    out = built_index.search_batch([q, q, q], k=10)
+    want = oracle_index.search(q, k=10, scorer="bm25")
+    assert out[q].docs == [d for d, _ in want]
+    assert len(out[q].docs) == len(want)

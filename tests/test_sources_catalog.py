@@ -86,19 +86,39 @@ def test_incremental_add_and_delete(spark, corpus_df, tmp_path):
     idx0 = engine.load(spark, idx_dir)
     n0 = idx0.stats["n_docs"]
 
-    inc.add_documents(spark, idx_dir, rest, cfg)
-    stats1 = inc.refresh_postings(spark, idx_dir, cfg)
+    # an explicit config conflicting with the build manifest must refuse
+    with pytest.raises(ValueError, match="conflicts"):
+        inc.add_documents(spark, idx_dir, rest, IndexBuildConfig(n_term_buckets=5))
+
+    inc.add_documents(spark, idx_dir, rest)  # cfg from manifest
+    stats1 = inc.refresh_postings(spark, idx_dir)
     assert stats1["n_docs"] == n0 + rest.count()
+
+    # a handle held across the refresh serves stale stats until reload()
+    assert idx0.stats["n_docs"] == n0
+    idx0.reload()
+    assert idx0.stats["n_docs"] == stats1["n_docs"]
 
     idx1 = engine.load(spark, idx_dir)
     hit = idx1.search_collect('"said"', k=5)
     assert hit.docs
+    # newly added docs must hydrate (docs/ store follows adds)
+    added = (
+        idx1.docs()
+        .filter("conv_id >= 'conv-00000040' and conv_id < 'conv-00000050'")
+        .collect()
+    )
+    assert len(added) == rest.count()
+    assert all(r["text"] for r in added)
+
     victim = hit.docs[0]
     assert inc.delete_documents(spark, idx_dir, [victim]) == 1
     stats2 = inc.refresh_postings(spark, idx_dir, cfg)
     assert stats2["n_docs"] == stats1["n_docs"] - 1
     idx2 = engine.load(spark, idx_dir)
     assert victim not in idx2.search_collect('"said"', k=5).docs
+    # deleted docs must no longer be hydratable
+    assert idx2.docs().filter(f"doc_id = '{victim}'").count() == 0
 
 
 def test_es_shaped_results(built_index):

@@ -80,15 +80,22 @@ class InvertedIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.dir = index_dir
-        stats_path = os.path.join(index_dir, "stats.json")
+        self.reload()
+
+    def reload(self) -> None:
+        """(Re-)read stats.json + the build manifest and drop the lexicon
+        cache. Call after `streaming.incremental.refresh_postings` /
+        `add_documents` — a handle held across a refresh otherwise serves
+        stale n_docs/avgdl/idf and keeps negative-caching new terms."""
+        stats_path = os.path.join(self.dir, "stats.json")
         if not os.path.exists(stats_path):
             raise FileNotFoundError(
-                f"no built index at {index_dir} (missing stats.json — "
+                f"no built index at {self.dir} (missing stats.json — "
                 "was it dropped or never built?)"
             )
         with open(stats_path) as f:
             self.stats = json.load(f)
-        man = Manifests(index_dir)
+        man = Manifests(self.dir)
         build_info = man.read("build") or man.read("stage3_postings")
         cfg = (build_info or {}).get("config", {})
         self.n_term_buckets = cfg.get("n_term_buckets", 16)
@@ -178,7 +185,8 @@ class InvertedIndex:
         hydrate: bool = False,
     ) -> DataFrame:
         """Returns DataFrame (doc_id, doc_id_int, score[, text...]) of the
-        top-k, totally ordered by (score DESC, doc_id ASC)."""
+        top-k, totally ordered by (score DESC, doc_id_int ASC) — the
+        engine-wide tie-break contract (see ranking.top_k)."""
         node = qp.parse(query)
         occ, all_tokens = self._query_tokens(node)
 
@@ -196,7 +204,7 @@ class InvertedIndex:
                 ),
                 "doc_id_int",
                 "left",
-            ).orderBy(F.desc("score"), F.asc("doc_id"))
+            ).orderBy(F.desc("score"), F.asc("doc_id_int"))
         return out
 
     def _search_dataframe(
@@ -266,8 +274,8 @@ class InvertedIndex:
         local = wand.topk_disjunctive(blocks, term_meta, self.stats["avgdl"], k)
         # per-bucket winners are tiny (<= k x n_buckets): merge on the
         # driver and resolve doc_id strings with one pruned point-lookup —
-        # 2 small jobs total instead of join+sort+limit stages.
-        # (doc_id_int order == doc_id string order by construction.)
+        # 2 small jobs total instead of join+sort+limit stages. Ties break
+        # on doc_id_int, the engine-wide contract (ranking.top_k).
         rows = local.collect()
         rows.sort(key=lambda r: (-r["score"], r["doc_id_int"]))
         rows = rows[:k]
@@ -302,7 +310,10 @@ class InvertedIndex:
         """Batched free-text BM25 top-k: ONE distributed pass for all
         queries (shared block scan + decode). Each query's scoring terms
         are its normalized TERM occurrences (NOT-subtrees excluded) —
-        ranked-retrieval semantics; boolean filtering uses search()."""
+        ranked-retrieval semantics; boolean filtering uses search().
+        Duplicate query strings are answered once (the result dict is
+        keyed by query string)."""
+        queries = list(dict.fromkeys(queries))  # dedupe, keep first-seen order
         metas: dict[int, dict[str, list[tuple[int, float]]]] = {}
         all_tokens: set[str] = set()
         occ_by_q: list[list[tuple[int, str]]] = []

@@ -65,6 +65,17 @@ class IndexBuildConfig:
         d["normalize"] = asdict(self.normalize)
         return d
 
+    @classmethod
+    def from_lineage(cls, d: dict) -> "IndexBuildConfig":
+        """Rebuild the config recorded in a build manifest (`lineage()`
+        round-trip) — incremental updates must tokenize and bucket with
+        the SAME config the index was built with."""
+        d = dict(d)
+        norm = dict(d.pop("normalize", {}))
+        if "stopword_languages" in norm:
+            norm["stopword_languages"] = tuple(norm["stopword_languages"])
+        return cls(normalize=NormalizeConfig(**norm), **d)
+
 
 # --------------------------------------------------------------------------
 # stage 0 — dense conversation ids without a global single-partition window

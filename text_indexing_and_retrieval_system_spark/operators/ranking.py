@@ -77,10 +77,15 @@ def score_candidates(
 
 
 def top_k(scored: DataFrame, doclen: DataFrame, k: int) -> DataFrame:
-    """Total order (score DESC, doc_id ASC) → TakeOrderedAndProject."""
+    """Total order (score DESC, doc_id_int ASC) → TakeOrderedAndProject.
+
+    The engine-wide tie-break is doc_id_int — i.e. (conv rank, turn_idx) —
+    on EVERY path (dataframe, wand, batch) and in the oracle. Tie-breaking
+    on the doc_id *string* would diverge when one conv_id is a prefix of
+    another ('conv1:0005' sorts after 'conv12:0000' as strings)."""
     return (
         scored.join(doclen.select("doc_id_int", "doc_id"), "doc_id_int")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc("score"), F.asc("doc_id_int"))
         .limit(k)
         .select("doc_id", "doc_id_int", "score")
     )

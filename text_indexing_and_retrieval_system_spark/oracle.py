@@ -19,8 +19,10 @@ Semantics reproduced:
               ground-truth scorer (`docs/DOCUMENTATION.md:34`)
 - docs in the filtered set matching no scoring term score 0.0
   (`query_processing_engine.py:356-358`)
-- total order: score DESC, doc_id ASC (our determinism contract;
-  the reference is tie-ambiguous — SURVEY.md §2.6)
+- total order: score DESC, then (conv_id, turn_idx) ASC — the same order
+  as the engine's doc_id_int tie-break on every path (the reference is
+  tie-ambiguous — SURVEY.md §2.6). Tie-breaking on the raw doc_id string
+  would diverge when one conv_id is a prefix of another.
 """
 
 from __future__ import annotations
@@ -153,5 +155,14 @@ class OracleIndex:
             for doc_id in self.postings.get(term, {}):
                 if doc_id in scores:
                     scores[doc_id] += self.score_one(term, doc_id, scorer)
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], _doc_order_key(kv[0])))
         return ranked[:k]
+
+
+def _doc_order_key(doc_id: str) -> tuple[str, int]:
+    """(conv_id, turn) sort key == the engine's doc_id_int order. Ids not
+    in conv:turn form fall back to plain string order."""
+    conv, _, turn = doc_id.rpartition(":")
+    if conv and turn.isdigit():
+        return (conv, int(turn))
+    return (doc_id, -1)

@@ -94,15 +94,38 @@ def ingest_stream(
     return writer.start()
 
 
+def _resolve_cfg(index_dir: str, cfg: IndexBuildConfig | None) -> IndexBuildConfig:
+    """The config recorded in the build manifest is authoritative for
+    incremental updates: re-tokenizing with different normalize settings
+    or re-bucketing with a different n_term_buckets would silently corrupt
+    the index (the reader prunes with the manifest's bucket count). An
+    explicit cfg must match the manifest; None loads it."""
+    man = Manifests(index_dir)
+    info = man.read("build") or man.read("stage3_postings") or {}
+    recorded = info.get("config")
+    if recorded is None:
+        return cfg if cfg is not None else IndexBuildConfig()
+    stored = IndexBuildConfig.from_lineage(recorded)
+    if cfg is not None and cfg.lineage() != stored.lineage():
+        raise ValueError(
+            f"explicit config conflicts with the build manifest of {index_dir}: "
+            f"{cfg.lineage()} != {stored.lineage()}"
+        )
+    return stored
+
+
 def add_documents(
     spark: SparkSession,
     index_dir: str,
     new_transcripts: DataFrame,
-    cfg: IndexBuildConfig = IndexBuildConfig(),
+    cfg: IndexBuildConfig | None = None,
 ) -> str:
     """Batch-append new turns as one segment chunk (reference
     `update_index` add path, `index_custom.py:654-750` — but incremental
-    instead of delete-and-rebuild). Call refresh_postings afterwards."""
+    instead of delete-and-rebuild). Also appends the turns to the docs/
+    hydration store so search(hydrate=True) sees them immediately. Call
+    refresh_postings afterwards; config defaults to the build manifest's."""
+    cfg = _resolve_cfg(index_dir, cfg)
     man = Manifests(index_dir)
     convmap = extend_convmap(spark, index_dir, new_transcripts)
     existing = [
@@ -114,6 +137,9 @@ def add_documents(
     seg = ib.tokenize_to_doc_postings(docs, cfg.normalize)
     path = os.path.join(index_dir, "segments", f"chunk={unit}")
     seg.write.mode("overwrite").parquet(path)
+    docs.select(
+        "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
     n = spark.read.parquet(path).count()
     man.record(unit, rows=n, seconds=time.time() - t0)
     return unit
@@ -139,12 +165,15 @@ def _apply_tombstones(spark: SparkSession, index_dir: str, seg: DataFrame) -> Da
 
 
 def refresh_postings(
-    spark: SparkSession, index_dir: str, cfg: IndexBuildConfig = IndexBuildConfig()
+    spark: SparkSession, index_dir: str, cfg: IndexBuildConfig | None = None
 ) -> dict:
     """Fold ALL segments (batch + streamed) into fresh doclen/stats/
-    postings/lexicon — the two-level merge reapplied over the grown
+    postings/lexicon/docs — the two-level merge reapplied over the grown
     segment set. Writes to versioned dirs then swaps, so readers never
-    see a partial index."""
+    see a partial index. Config defaults to the build manifest's (see
+    `_resolve_cfg`). An `InvertedIndex` handle held across a refresh
+    serves stale stats/lexicon — call its `reload()` afterwards."""
+    cfg = _resolve_cfg(index_dir, cfg)
     man = Manifests(index_dir)
     seg = spark.read.parquet(os.path.join(index_dir, "segments", "chunk=*"))
     seg = _apply_tombstones(spark, index_dir, seg)
@@ -220,10 +249,31 @@ def refresh_postings(
     lexicon_path = os.path.join(index_dir, "lexicon" + tmp_suffix)
     lex.write.mode("overwrite").parquet(lexicon_path)
 
+    # docs/ hydration store: drop tombstoned docs (and self-heal duplicate
+    # doc_id_int rows a replayed add_documents append may have left —
+    # keeper is the min doc_id, matching the reference's first-wins dedup)
+    docs_live = os.path.join(index_dir, "docs")
+    if os.path.isdir(docs_live):
+        docs_df = _apply_tombstones(spark, index_dir, spark.read.parquet(docs_live))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("doc_id_int").orderBy("doc_id")
+        docs_df = (
+            docs_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        docs_path = os.path.join(index_dir, "docs" + tmp_suffix)
+        docs_df.repartitionByRange(
+            max(cfg.n_range_buckets // 4, 1), "doc_id_int"
+        ).sortWithinPartitions("doc_id_int").write.mode("overwrite").parquet(docs_path)
+
     # atomic-ish swap (rename) + stats/manifest update
     import shutil
 
-    for name in ("doclen", "postings", "lexicon"):
+    for name in ("doclen", "postings", "lexicon", "docs"):
+        if not os.path.exists(os.path.join(index_dir, name + tmp_suffix)):
+            continue
         live = os.path.join(index_dir, name)
         if os.path.exists(live):
             shutil.rmtree(live)
