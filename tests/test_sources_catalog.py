@@ -121,6 +121,40 @@ def test_incremental_add_and_delete(spark, corpus_df, tmp_path):
     assert idx2.docs().filter(f"doc_id = '{victim}'").count() == 0
 
 
+def test_provider_contract(spark, tmp_path):
+    """The TableProvider seam: every operation the index storage layer
+    needs, exercised against the parquet backend (the Iceberg backend
+    maps the same calls onto catalog SQL and must refuse cleanly when no
+    catalog is configured)."""
+    from text_indexing_and_retrieval_system_spark.sources.provider import (
+        IcebergProvider,
+        ParquetDirProvider,
+    )
+
+    p = ParquetDirProvider(str(tmp_path / "tbls"))
+    df = spark.range(5).withColumnRenamed("id", "doc_id_int")
+    p.write(df, "doclen")
+    assert p.exists("doclen") and p.list_tables() == ["doclen"]
+    assert p.num_rows("doclen") == 5
+    p.append(spark.range(5, 8).withColumnRenamed("id", "doc_id_int"), "doclen")
+    assert p.num_rows("doclen") == 8
+
+    # staged replace: readers of the live table never see the new version
+    # until commit; commit skips tables without a staged version
+    p.write_staged(spark.range(2).withColumnRenamed("id", "doc_id_int"), "doclen")
+    assert p.num_rows("doclen") == 8
+    p.commit_staged(["doclen", "postings"])  # postings never staged: no-op
+    assert p.num_rows("doclen") == 2
+    assert p.list_tables() == ["doclen"]  # stage dirs hidden from listing
+
+    assert p.drop("doclen") and not p.exists("doclen")
+    assert not p.drop("doclen")
+
+    # no Iceberg catalog on this session -> construction must refuse
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergProvider(spark, "ice", "tirs")
+
+
 def test_es_shaped_results(built_index):
     out = built_index.search_es_shaped('"said"', k=3)
     hits = out["hits"]["hits"]

@@ -3,10 +3,11 @@
 Reference parity for the global catalog + per-index metadata CRUD
 (`/root/reference/code/indexes/index_custom.py:254-338,415-486,799-855`;
 `storage/metadata.yaml`). Here the filesystem IS the catalog (one
-directory per index with its `_manifests/`), the idiomatic shape of an
-Iceberg namespace listing — and the seam where a real deployment points
-these helpers at an Iceberg catalog instead (`CREATE/DROP TABLE`,
-`SHOW TABLES`, table properties).
+directory per index with its `_manifests/`). The per-index TABLE
+operations (write/append/staged-replace/read/row-count) live behind the
+TableProvider interface in sources/provider.py — ParquetDirProvider for
+this layout, IcebergProvider mapping the same calls onto an Iceberg
+catalog (`CREATE/DROP TABLE`, `SHOW TABLES`, snapshot summaries).
 """
 
 from __future__ import annotations

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..operators import index_build as ib
 from ..operators.index_build import IndexBuildConfig
 from ..operators.segments import Manifests, term_bucket_col
+from ..sources.provider import ParquetDirProvider
 
 
 def extend_convmap(
@@ -137,9 +138,12 @@ def add_documents(
     seg = ib.tokenize_to_doc_postings(docs, cfg.normalize)
     path = os.path.join(index_dir, "segments", f"chunk={unit}")
     seg.write.mode("overwrite").parquet(path)
-    docs.select(
-        "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
-    ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+    ParquetDirProvider(index_dir).append(
+        docs.select(
+            "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ),
+        "docs",
+    )
     n = spark.read.parquet(path).count()
     man.record(unit, rows=n, seconds=time.time() - t0)
     return unit
@@ -175,6 +179,9 @@ def refresh_postings(
     serves stale stats/lexicon — call its `reload()` afterwards."""
     cfg = _resolve_cfg(index_dir, cfg)
     man = Manifests(index_dir)
+    provider = ParquetDirProvider(index_dir)  # the TableProvider seam:
+    # point this at an IcebergProvider and the staged-write + commit
+    # below become catalog transactions (sources/provider.py)
     seg = spark.read.parquet(os.path.join(index_dir, "segments", "chunk=*"))
     seg = _apply_tombstones(spark, index_dir, seg)
     convmap = spark.read.parquet(os.path.join(index_dir, "convmap"))
@@ -194,13 +201,12 @@ def refresh_postings(
         )
         .select("doc_id_int", "doc_id", "dl")
     )
-    tmp_suffix = "_refresh"
-    doclen_path = os.path.join(index_dir, "doclen" + tmp_suffix)
-    doclen.repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int").write.mode(
-        "overwrite"
-    ).parquet(doclen_path)
+    provider.write_staged(
+        doclen.repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int"),
+        "doclen",
+    )
     agg = (
-        spark.read.parquet(doclen_path)
+        provider.read(spark, provider.stage_name("doclen"))
         .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("tt"))
         .collect()[0]
     )
@@ -218,18 +224,17 @@ def refresh_postings(
     blocks = ib.build_blocks(seg, stats["avgdl"], cfg, range_shift).withColumn(
         "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
     )
-    postings_path = os.path.join(index_dir, "postings" + tmp_suffix)
-    (
-        blocks.repartition(cfg.n_term_buckets, "bucket")
-        .sortWithinPartitions("term", "first_doc")
-        .write.mode("overwrite")
-        .option("parquet.block.size", str(1 << 20))
-        .partitionBy("bucket")
-        .parquet(postings_path)
+    provider.write_staged(
+        blocks.repartition(cfg.n_term_buckets, "bucket").sortWithinPartitions(
+            "term", "first_doc"
+        ),
+        "postings",
+        partition_by=("bucket",),
+        options={"parquet.block.size": str(1 << 20)},
     )
     n = stats["n_docs"]
     lex = (
-        spark.read.parquet(postings_path)
+        provider.read(spark, provider.stage_name("postings"))
         .groupBy("term")
         .agg(
             F.sum("n").alias("df"),
@@ -246,15 +251,13 @@ def refresh_postings(
         )
         .withColumn("bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets))
     )
-    lexicon_path = os.path.join(index_dir, "lexicon" + tmp_suffix)
-    lex.write.mode("overwrite").parquet(lexicon_path)
+    provider.write_staged(lex, "lexicon")
 
     # docs/ hydration store: drop tombstoned docs (and self-heal duplicate
     # doc_id_int rows a replayed add_documents append may have left —
     # keeper is the min doc_id, matching the reference's first-wins dedup)
-    docs_live = os.path.join(index_dir, "docs")
-    if os.path.isdir(docs_live):
-        docs_df = _apply_tombstones(spark, index_dir, spark.read.parquet(docs_live))
+    if provider.exists("docs"):
+        docs_df = _apply_tombstones(spark, index_dir, provider.read(spark, "docs"))
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("doc_id_int").orderBy("doc_id")
@@ -263,21 +266,16 @@ def refresh_postings(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        docs_path = os.path.join(index_dir, "docs" + tmp_suffix)
-        docs_df.repartitionByRange(
-            max(cfg.n_range_buckets // 4, 1), "doc_id_int"
-        ).sortWithinPartitions("doc_id_int").write.mode("overwrite").parquet(docs_path)
+        provider.write_staged(
+            docs_df.repartitionByRange(
+                max(cfg.n_range_buckets // 4, 1), "doc_id_int"
+            ).sortWithinPartitions("doc_id_int"),
+            "docs",
+        )
 
-    # atomic-ish swap (rename) + stats/manifest update
-    import shutil
-
-    for name in ("doclen", "postings", "lexicon", "docs"):
-        if not os.path.exists(os.path.join(index_dir, name + tmp_suffix)):
-            continue
-        live = os.path.join(index_dir, name)
-        if os.path.exists(live):
-            shutil.rmtree(live)
-        os.rename(os.path.join(index_dir, name + tmp_suffix), live)
+    # swap the staged tables in (rename per table on the parquet backend;
+    # catalog transactions on Iceberg) + stats/manifest update
+    provider.commit_staged(["doclen", "postings", "lexicon", "docs"])
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     man.record("refresh_postings", range_shift=range_shift, **stats)
