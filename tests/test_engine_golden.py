@@ -62,6 +62,36 @@ def test_golden_queries_dataframe(built_index, oracle_index, query_set):
         _assert_match(want, got, q)
 
 
+def test_golden_queries_kernel(built_index, oracle_index, query_set):
+    """The bucket-kernel boolean path (strategy=kernel, the interactive
+    default for non-disjunctive bm25 queries) must be bit-identical to
+    the oracle on all 15 templates (AND/OR/NOT/phrase mixes)."""
+    for q in query_set:
+        want = oracle_index.search(q, k=K, scorer="bm25")
+        got = built_index.search_collect(q, k=K, scorer="bm25", strategy="kernel")
+        _assert_match(want, got, q + " [kernel]")
+
+
+def test_kernel_not_and_phrase(built_index, oracle_index, corpus_pdf):
+    from text_indexing_and_retrieval_system_spark.functions.normalize import (
+        normalize_to_tokens as _ntt,
+    )
+
+    term = max(oracle_index.postings, key=lambda t: len(oracle_index.postings[t]))
+    mid = sorted(oracle_index.postings, key=lambda t: -len(oracle_index.postings[t]))[20]
+    tokens = _ntt(corpus_pdf["text"].head(50))
+    phrase = next(f"{lst[0]} {lst[1]}" for lst in tokens if len(lst) >= 2)
+    for q in (
+        f'NOT "{term}"',  # top-level complement: universe cogroup path
+        f'"{mid}" AND NOT "{term}"',
+        f'PHRASE "{phrase}"',
+        f'PHRASE "{phrase}" OR "{mid}"',
+    ):
+        want = oracle_index.search(q, k=K)
+        got = built_index.search_collect(q, k=K, strategy="kernel")
+        _assert_match(want, got, q + " [kernel]")
+
+
 def test_wand_matches_dataframe_on_disjunctions(built_index, oracle_index):
     terms = sorted(
         oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])

@@ -347,6 +347,203 @@ def topk_disjunctive_batch(
     return blocks.groupBy("range_bucket").applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# full boolean trees in the bucket kernel (interactive path)
+# --------------------------------------------------------------------------
+
+
+def normalize_tree(node, norm_fn):
+    """Parsed raw node -> token-level tree evaluable inside the kernel:
+    ('tok', t) | ('and', a, b) | ('or', a, b) | ('not', a) |
+    ('phrase', (t1, .., tn)) | ('empty',). A multi-token TERM becomes the
+    implicit AND of its tokens (BooleanPlanner semantics). The result is
+    plain nested tuples — picklable into the Arrow kernel closure."""
+    kind = node[0]
+    if kind == "term":
+        toks = norm_fn(node[1])
+        if not toks:
+            return ("empty",)
+        out = ("tok", toks[0])
+        for t in toks[1:]:
+            out = ("and", out, ("tok", t))
+        return out
+    if kind in ("and", "or"):
+        return (kind, normalize_tree(node[1], norm_fn), normalize_tree(node[2], norm_fn))
+    if kind == "not":
+        return ("not", normalize_tree(node[1], norm_fn))
+    if kind == "phrase":
+        toks = tuple(norm_fn(node[1]))
+        return ("phrase", toks) if toks else ("empty",)
+    raise ValueError(f"unknown node kind: {kind!r}")
+
+
+def tree_has(tree, kind: str) -> bool:
+    if tree[0] == kind:
+        return True
+    return any(
+        isinstance(c, tuple) and tree_has(c, kind) for c in tree[1:]
+    )
+
+
+def _eval_tree(tree, term_docs, universe, phrase_eval):
+    """Set evaluation over sorted unique int64 doc arrays."""
+    empty = np.empty(0, dtype=np.int64)
+    kind = tree[0]
+    if kind == "empty":
+        return empty
+    if kind == "tok":
+        return term_docs.get(tree[1], empty)
+    if kind == "and":
+        return np.intersect1d(
+            _eval_tree(tree[1], term_docs, universe, phrase_eval),
+            _eval_tree(tree[2], term_docs, universe, phrase_eval),
+            assume_unique=True,
+        )
+    if kind == "or":
+        return np.union1d(
+            _eval_tree(tree[1], term_docs, universe, phrase_eval),
+            _eval_tree(tree[2], term_docs, universe, phrase_eval),
+        )
+    if kind == "not":
+        if universe is None:
+            raise ValueError("NOT requires the bucket universe (doclen cogroup)")
+        return np.setdiff1d(
+            universe,
+            _eval_tree(tree[1], term_docs, universe, phrase_eval),
+            assume_unique=True,
+        )
+    if kind == "phrase":
+        return phrase_eval(tree[1])
+    raise ValueError(f"unknown tree kind: {kind!r}")
+
+
+def _phrase_eval_factory(pdf: pd.DataFrame, words: tuple[str, ...]):
+    """Positional adjacency inside one bucket: decode the phrase words'
+    blocks WITH positions, intersect doc lists, then per common doc keep
+    start positions p with p+i present in word i's positions."""
+    per_word: dict[str, tuple[np.ndarray, list]] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        if term not in words:
+            continue
+        docs_parts, pos_parts = [], []
+        for payload in grp.sort_values("first_doc")["payload"]:
+            d, _tf, _dl, pos = codec.unpack_postings(bytes(payload), with_positions=True)
+            docs_parts.append(d)
+            pos_parts.extend(pos)
+        per_word[term] = (np.concatenate(docs_parts), pos_parts)
+
+    def ev(ws: tuple[str, ...]) -> np.ndarray:
+        if any(w not in per_word for w in ws):
+            return np.empty(0, dtype=np.int64)
+        common = per_word[ws[0]][0]
+        for w in ws[1:]:
+            common = np.intersect1d(common, per_word[w][0], assume_unique=True)
+        if common.size == 0 or len(ws) == 1:
+            return common
+        out = []
+        for doc in common:
+            starts = np.asarray(
+                per_word[ws[0]][1][int(np.searchsorted(per_word[ws[0]][0], doc))],
+                dtype=np.int64,
+            )
+            for i, w in enumerate(ws[1:], start=1):
+                d_w, pos_w = per_word[w]
+                p = np.asarray(pos_w[int(np.searchsorted(d_w, doc))], dtype=np.int64)
+                starts = starts[np.isin(starts + i, p)]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out.append(doc)
+        return np.asarray(out, dtype=np.int64)
+
+    return ev
+
+
+def _score_candidates_np(
+    cands: np.ndarray,
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]],
+    term_meta: dict[str, list[tuple[int, float]]],
+    k: int,
+) -> pd.DataFrame:
+    """BM25 over a fixed candidate array, contributions accumulated in
+    term-occurrence order (bit-identical to the DataFrame path / oracle);
+    candidates matching no scoring term keep 0.0."""
+    if cands.size == 0:
+        return _empty_topk()
+    scores = np.zeros(cands.size, dtype=np.float64)
+    occs = sorted(
+        (idx, t, idf) for t in per_term for (idx, idf) in term_meta.get(t, [])
+    )
+    for _, term, idf in occs:
+        d, imp = per_term[term]
+        idx = np.searchsorted(cands, d)
+        valid = (idx < cands.size) & (cands[np.minimum(idx, cands.size - 1)] == d)
+        scores[idx[valid]] += idf * imp[valid]
+    if cands.size > k:
+        kth = np.partition(-scores, k - 1)[k - 1]
+        pool = np.flatnonzero(-scores <= kth)
+        sel = pool[np.lexsort((cands[pool], -scores[pool]))[:k]]
+    else:
+        sel = np.lexsort((cands, -scores))
+    return pd.DataFrame({"doc_id_int": cands[sel], "score": scores[sel]})
+
+
+def boolean_topk(
+    blocks: DataFrame,
+    tree,
+    term_meta: dict[str, list[tuple[int, float]]],
+    avgdl: float,
+    k: int,
+    doclen: DataFrame | None = None,
+    range_shift: int | None = None,
+) -> DataFrame:
+    """Arbitrary boolean/phrase query + BM25 ranking in ONE kernel pass —
+    the interactive successor of the DataFrame join plan (same results,
+    bit-identical scores, ~4 Catalyst stages fewer). Per range bucket:
+    decode -> set-evaluate the tree -> score candidates -> local top-k;
+    the caller merges the tiny per-bucket winners.
+
+    NOT needs the complement universe, so when the tree contains one the
+    blocks are COGROUPed with the doclen table (bucketed by the same
+    doc-id range shift) — this also covers buckets where the query's
+    tokens have no blocks at all but whose docs still match the
+    complement."""
+    needs_universe = tree_has(tree, "not")
+
+    def run_one(pdf: pd.DataFrame, universe) -> pd.DataFrame:
+        per_term = _decode_terms(pdf, avgdl) if len(pdf) else {}
+        term_docs = {t: d for t, (d, _) in per_term.items()}
+        # positions decode only happens if/when a phrase subtree is hit
+        phrase_eval = lambda ws: _phrase_eval_factory(pdf, ws)(ws)  # noqa: E731
+        cands = _eval_tree(tree, term_docs, universe, phrase_eval)
+        return _score_candidates_np(cands, per_term, term_meta, k)
+
+    if needs_universe:
+        if doclen is None or range_shift is None:
+            raise ValueError("NOT queries need doclen + range_shift")
+        dl_b = doclen.select(
+            F.shiftrightunsigned("doc_id_int", range_shift)
+            .cast("int")
+            .alias("range_bucket"),
+            "doc_id_int",
+        )
+
+        def run_co(key, blocks_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+            universe = np.sort(dl_pdf["doc_id_int"].to_numpy(dtype=np.int64))
+            return run_one(blocks_pdf, universe)
+
+        return (
+            blocks.groupBy("range_bucket")
+            .cogroup(dl_b.groupBy("range_bucket"))
+            .applyInPandas(run_co, schema=TOPK_SCHEMA)
+        )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return run_one(pdf, None)
+
+    return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
+
+
 def merge_query_topk(local: DataFrame, k: int) -> DataFrame:
     """Merge per-(query, bucket) winners to a global per-query top-k
     inside Spark (one small shuffle on query_id) so the driver collects
