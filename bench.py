@@ -57,8 +57,10 @@ def main() -> None:
     queries = entry_mod.queries()
     # untimed JIT warmup: first execution of the tokenize expression
     # pipeline pays ~3-4 s of JVM codegen/JIT that every later query
-    # skips; measured queries should reflect steady state
+    # skips; measured queries should reflect steady state. entry() (same
+    # ranked shape at sf0.001) warms the scoring-expression codegen.
     queries["token_counts"](spark, sf_dir).count()
+    entry_mod.entry(spark).count()
     suite = [
         "bm25_topk", "tfidf_topk", "bool_and", "bool_or_not", "phrase_match",
         "word_freq_top50", "term_stats", "dedup_exact", "minhash_signatures",
@@ -131,6 +133,33 @@ def main() -> None:
             lat.append(round(time.time() - t1, 3))
         timings["boolean_5_sequential"] = round(time.time() - t0, 3)
         extra["boolean_latency_per_query"] = lat
+
+        # block-max pruning effectiveness: 16 sequential rare|rare|hot
+        # disjunctions on the wand path (the MaxScore-favourable shape:
+        # high-idf terms fill top-k, the hot term's blocks restrict).
+        # NB the skip rate is geometry-bound at this sf: ~1-3 blocks per
+        # (term, bucket), so whole-block skipping has little to bite on —
+        # see test_wand_pruning.py for the high-block-count case.
+        import random
+
+        rnd = random.Random(5)
+        hot = [t for t in lex["term"][:5] if t]
+        rare = [t for t in lex["term"][400:2400] if t]
+        wq = [
+            f'"{rnd.choice(rare)}" OR "{rnd.choice(rare)}" OR "{rnd.choice(hot)}"'
+            for _ in range(16)
+        ]
+        tot = dec = 0
+        t0 = time.time()
+        for qtext in wq:
+            idx.search_collect(qtext, k=10, strategy="wand")
+            st = idx.last_prune_stats
+            tot += st["blocks_total"]
+            dec += st["blocks_decoded"]
+        timings["wand_16_sequential"] = round(time.time() - t0, 3)
+        extra["wand_blocks_total"] = tot
+        extra["wand_blocks_decoded"] = dec
+        extra["wand_block_skip_rate"] = round(1 - dec / max(tot, 1), 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

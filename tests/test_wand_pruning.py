@@ -70,6 +70,41 @@ def test_no_candidates_all_terms_unknown():
     assert out.empty and n_decoded == 0 and n_total > 0
 
 
+def test_theta_seed_skips_more_and_is_exact():
+    """A certified theta seed (exact k-th score from a prior pass) must
+    only increase skipping, never change results."""
+    pdf, term_meta = _mk_case()
+    base, n_total, dec_base = wand.score_bucket_pruned(pdf, term_meta, AVGDL, k=3)
+    kth = float(base["score"].iloc[2])
+    seeded, _, dec_seeded = wand.score_bucket_pruned(
+        pdf, term_meta, AVGDL, k=3, theta_seed=kth
+    )
+    assert dec_seeded <= dec_base
+    assert dec_seeded < n_total
+    assert list(seeded["doc_id_int"])[:3] == list(base["doc_id_int"])[:3]
+    assert list(seeded["score"])[:3] == list(base["score"])[:3]
+
+
+def test_theta_seed_engine_repeat_query(built_index, oracle_index):
+    """Engine-level: repeating a disjunction reuses the worker theta
+    cache — results identical to the oracle both times and the repeat
+    decodes no more blocks than the cold run."""
+    terms = sorted(
+        oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])
+    )[:4]
+    q = " OR ".join(f'"{t}"' for t in terms)
+    want = oracle_index.search(q, k=10, scorer="bm25")
+    first = built_index.search_collect(q, k=10, strategy="wand")
+    s1 = dict(built_index.last_prune_stats)
+    second = built_index.search_collect(q, k=10, strategy="wand")
+    s2 = dict(built_index.last_prune_stats)
+    for got in (first, second):
+        assert got.docs == [d for d, _ in want]
+        assert got.scores == [s for _, s in want]
+    assert s1["blocks_total"] == s2["blocks_total"] > 0
+    assert s2["blocks_decoded"] <= s1["blocks_decoded"]
+
+
 def test_k_larger_than_candidates():
     pdf, term_meta = _mk_case()
     pruned, _, _ = wand.score_bucket_pruned(pdf, term_meta, AVGDL, k=10_000)

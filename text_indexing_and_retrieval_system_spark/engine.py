@@ -373,12 +373,42 @@ class InvertedIndex:
             )
         term_meta = self._term_meta(occ)
         blocks = self.blocks_for(sorted(term_meta))
-        local = wand.topk_disjunctive(blocks, term_meta, self.stats["avgdl"], k)
+        # cross-bucket theta key: worker processes reuse certified k-th
+        # scores across this query's buckets and across repeats of the
+        # query in the session; n_docs/avgdl pin the index version so a
+        # refresh invalidates stale seeds
+        qkey = (
+            f"{self.dir}|{self.stats['n_docs']}|{self.stats['avgdl']}|k={k}|"
+            + "|".join(f"{t}:{len(m)}" for t, m in sorted(term_meta.items()))
+        )
+        acc_total, acc_decoded = self._prune_accs()
+        t0, d0 = acc_total.value, acc_decoded.value
+        local = wand.topk_disjunctive(
+            blocks,
+            term_meta,
+            self.stats["avgdl"],
+            k,
+            query_key=qkey,
+            acc_total=acc_total,
+            acc_decoded=acc_decoded,
+        )
         # per-bucket winners are tiny (<= k x n_buckets): merge on the
         # driver and resolve doc_id strings with one pruned point-lookup —
         # 2 small jobs total instead of join+sort+limit stages. Ties break
         # on doc_id_int, the engine-wide contract (ranking.top_k).
-        return self._finalize_topk(local.collect(), k)
+        rows = local.collect()
+        self.last_prune_stats = {
+            "blocks_total": acc_total.value - t0,
+            "blocks_decoded": acc_decoded.value - d0,
+        }
+        return self._finalize_topk(rows, k)
+
+    def _prune_accs(self):
+        if getattr(self, "_acc_total", None) is None:
+            sc = self.spark.sparkContext
+            self._acc_total = sc.accumulator(0)
+            self._acc_decoded = sc.accumulator(0)
+        return self._acc_total, self._acc_decoded
 
     def _doc_ids_for(self, ids: list[int]) -> dict[int, str]:
         if not ids:

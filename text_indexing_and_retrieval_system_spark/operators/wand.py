@@ -73,6 +73,7 @@ def score_bucket_pruned(
     term_meta: dict[str, list[tuple[int, float]]],
     avgdl: float,
     k: int,
+    theta_seed: float = -np.inf,
 ) -> tuple[pd.DataFrame, int, int]:
     """Exact top-k with MaxScore-style block skipping (the reference's
     thresholding/early-stopping, R5/R6, rebuilt for block granularity).
@@ -90,6 +91,13 @@ def score_bucket_pruned(
     float summation order as the oracle and the DataFrame path, so
     scores stay bit-identical. Skipped blocks provably contain no
     candidates, so no contribution is missed.
+
+    `theta_seed` is a CERTIFIED lower bound on the global k-th best
+    score (e.g. another bucket's exact local k-th, or this query's k-th
+    from a previous run) — with it, skipping fires before the bucket
+    accumulates k candidates of its own (cross-bucket theta, R6). A doc
+    excluded under the seed scores STRICTLY below k other docs, so
+    results (ties included) are unchanged.
 
     Returns (top-k frame, n_blocks_total, n_blocks_decoded).
     """
@@ -120,12 +128,13 @@ def score_bucket_pruned(
 
     for i, term in enumerate(order):
         grp = per_term_blocks[term]
-        theta = (
+        theta_local = (
             np.partition(part, part.size - k)[part.size - k]
             if part.size >= k
             else -np.inf
         )
-        restricted = part.size >= k and suffix[i] < theta
+        theta = max(theta_local, theta_seed)
+        restricted = suffix[i] < theta
         firsts = grp["first_doc"].to_numpy(dtype=np.int64)
         lasts = grp["last_doc"].to_numpy(dtype=np.int64)
         if restricted:
@@ -252,20 +261,51 @@ def score_bucket(
     return pd.DataFrame({"doc_id_int": all_docs[sel], "score": scores[sel]})
 
 
+_THETA_SEEDS: dict[str, float] = {}  # per-worker-process certified seeds
+_THETA_SEEDS_MAX = 10_000
+
+
 def topk_disjunctive(
     blocks: DataFrame,
     term_meta: dict[str, list[tuple[int, float]]],
     avgdl: float,
     k: int,
+    query_key: str | None = None,
+    acc_total=None,
+    acc_decoded=None,
 ) -> DataFrame:
     """blocks(term, range_bucket, first_doc, payload, ...) filtered to the
     query terms → global (doc_id_int, score) top-k candidates.
+
+    `query_key` enables cross-bucket theta: each worker process keeps the
+    best certified k-th score it has produced for that key, so buckets it
+    processes later (same job, or a repeat of the query in the session)
+    start skipping immediately instead of from theta = -inf. Seeds are
+    exact local k-th scores — always valid global lower bounds — so
+    results stay bit-identical (asserted by test_wand_pruning).
+
+    `acc_total` / `acc_decoded` (Spark accumulators) report block-level
+    pruning effectiveness: blocks decoded vs blocks scanned.
 
     Caller applies the final orderBy/limit after joining doc_id strings.
     """
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_bucket_pruned(pdf, term_meta, avgdl, k)[0]
+        seed = _THETA_SEEDS.get(query_key, -np.inf) if query_key else -np.inf
+        out, n_total, n_decoded = score_bucket_pruned(
+            pdf, term_meta, avgdl, k, theta_seed=seed
+        )
+        if query_key and len(out) >= k:
+            kth = float(out["score"].iloc[k - 1])
+            if len(_THETA_SEEDS) < _THETA_SEEDS_MAX or query_key in _THETA_SEEDS:
+                _THETA_SEEDS[query_key] = max(
+                    _THETA_SEEDS.get(query_key, -np.inf), kth
+                )
+        if acc_total is not None:
+            acc_total.add(n_total)
+        if acc_decoded is not None:
+            acc_decoded.add(n_decoded)
+        return out
 
     return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
 
