@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_QUERIES = 256
+N_QUERIES = int(os.environ.get("SCALE_QUERIES", "256"))
 N_REPEATS = 1
 
 

@@ -99,6 +99,7 @@ class InvertedIndex:
         build_info = man.read("build") or man.read("stage3_postings")
         cfg = (build_info or {}).get("config", {})
         self.n_term_buckets = cfg.get("n_term_buckets", 16)
+        self.n_range_buckets = cfg.get("n_range_buckets", 32)
         self.range_shift = None  # doc-id range bucketing of the postings
         for unit in ("refresh_postings", "stage3_postings"):
             info = man.read(unit)
@@ -117,23 +118,62 @@ class InvertedIndex:
         if doclen_df is not None:
             doclen_df.unpersist()
         self._doclen_df = None
+        # session-lifetime driver caches (loaded lazily, size-gated): the
+        # full lexicon and the convmap turn two per-batch Spark jobs
+        # (lexicon lookup, doc_id resolution join) into dict lookups
+        self._full_lex: dict | None = None
+        self._convmap: dict[int, str] | None = None
+        self._postings_df = None
+        self._n_terms = None
+        for unit in ("refresh_postings", "stage3_postings"):
+            info = man.read(unit)
+            if info and info.get("n_terms") is not None:
+                self._n_terms = int(info["n_terms"])
+                break
 
     # ------------------------------ scans ------------------------------
 
     def blocks_for(self, tokens: list[str]) -> DataFrame:
         """Posting blocks for normalized tokens — bucket-dir pruned +
-        term predicate pushed to parquet row groups."""
+        term predicate pushed to parquet row groups. The reader relation
+        is built once per handle (a fresh spark.read.parquet costs a
+        1-task schema/footer job per query)."""
         buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
-        df = self.spark.read.parquet(os.path.join(self.dir, "postings"))
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                os.path.join(self.dir, "postings")
+            )
+        df = self._postings_df
         return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(tokens))
 
     def postings_for(self, tokens: list[str], with_positions: bool = False) -> DataFrame:
         return _unpack_blocks(self.blocks_for(tokens), with_positions)
 
+    LEX_DRIVER_CACHE_MAX = 5_000_000  # terms; ~0.5 GB driver budget
+    CONVMAP_DRIVER_CACHE_MAX = 5_000_000  # convs
+
     def lexicon_for(self, tokens: list[str]) -> pd.DataFrame:
         """Pruned lexicon lookup with a per-instance driver cache
         (vocabulary is Zipfian — repeated query terms hit the cache;
-        unknown terms are negatively cached)."""
+        unknown terms are negatively cached). When the whole vocabulary
+        fits the driver (manifest n_terms under the cap — true far beyond
+        this sandbox), it is loaded ONCE and every later lookup is a dict
+        hit instead of a Spark job; bigger vocabularies keep the pruned
+        per-term scan."""
+        if (
+            self._full_lex is None
+            and self._n_terms is not None
+            and self._n_terms <= self.LEX_DRIVER_CACHE_MAX
+        ):
+            pdf = self.spark.read.parquet(
+                os.path.join(self.dir, "lexicon")
+            ).select("term", "df", "cf", "idf", "max_impact", "n_blocks").toPandas()
+            self._full_lex = {r["term"]: r for r in pdf.to_dict("records")}
+        if self._full_lex is not None:
+            rows = [self._full_lex[t] for t in tokens if t in self._full_lex]
+            return pd.DataFrame(
+                rows, columns=["term", "df", "cf", "idf", "max_impact", "n_blocks"]
+            )
         missing = [t for t in tokens if t not in self._lex_cache]
         if missing:
             buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in missing})
@@ -413,6 +453,30 @@ class InvertedIndex:
     def _doc_ids_for(self, ids: list[int]) -> dict[int, str]:
         if not ids:
             return {}
+        # doc_id strings are derivable from doc_id_int + the convmap
+        # (conv_int = id >> TURN_BITS); when the convmap fits the driver
+        # it is loaded once and resolution is pure python — no Spark job.
+        n_convs = self.stats.get("n_convs")
+        if (
+            self._convmap is None
+            and n_convs is not None
+            and n_convs <= self.CONVMAP_DRIVER_CACHE_MAX
+        ):
+            pdf = self.spark.read.parquet(
+                os.path.join(self.dir, "convmap")
+            ).toPandas()
+            self._convmap = dict(zip(pdf["conv_int"], pdf["conv_id"]))
+        if self._convmap is not None:
+            from .operators.index_build import TURN_BITS
+
+            def did(i: int) -> str:
+                conv = self._convmap[i >> TURN_BITS]
+                t = str(i & ((1 << TURN_BITS) - 1))
+                # Spark lpad semantics: pad to 4, TRUNCATE beyond 4
+                t = t.rjust(4, "0") if len(t) <= 4 else t[:4]
+                return f"{conv}:{t}"
+
+            return {i: did(int(i)) for i in ids}
         if len(ids) <= 256:
             # small: literal IN-list gets parquet min/max pruning
             scan = self.doclen().filter(F.col("doc_id_int").isin(ids))
@@ -437,11 +501,21 @@ class InvertedIndex:
         Duplicate query strings are answered once (the result dict is
         keyed by query string)."""
         queries = list(dict.fromkeys(queries))  # dedupe, keep first-seen order
+        nodes = [qp.parse(q) for q in queries]
+        # bulk-normalize every raw term across the batch in one vectorized
+        # pass (per-term cold normalization costs ~2-4 ms of driver time)
+        from .functions.normalize import prime_query_norm_cache
+
+        raw_terms: list[str] = []
+        for node in nodes:
+            raw_terms.extend(qp.scoring_terms(node))
+            raw_terms.extend(qp.collect_positive_terms(node))
+        prime_query_norm_cache(raw_terms, self.normalize_cfg)
+
         metas: dict[int, dict[str, list[tuple[int, float]]]] = {}
         all_tokens: set[str] = set()
         occ_by_q: list[list[tuple[int, str]]] = []
-        for q in queries:
-            node = qp.parse(q)
+        for node in nodes:
             occ, _ = self._query_tokens(node)
             occ_by_q.append(occ)
             all_tokens.update(t for _, t in occ)
@@ -458,24 +532,35 @@ class InvertedIndex:
         known = sorted({t for m in metas.values() for t in m})
         blocks = self.blocks_for(known)
         local = wand.topk_disjunctive_batch(blocks, metas, self.stats["avgdl"], k)
-        # distributed per-query merge of the bucket winners (cuts the
-        # driver collect from k x n_buckets x n_queries rows to k x
-        # n_queries), then one pruned lookup for doc_id strings
-        merged = wand.merge_query_topk(local, k)
-        per_q: dict[int, list] = {}
-        for r in merged.collect():
-            per_q.setdefault(r["query_id"], []).append(r)
+        # merge the per-(query, bucket) winners to per-query top-k:
+        # small batches (k x queries x buckets winners fit the driver)
+        # merge in numpy on the driver — one Spark stage less; beyond the
+        # threshold, the distributed merge keeps the driver collect at
+        # k x queries rows (the 1000-executor path).
+        est_rows = k * len(queries) * self.n_range_buckets
+        if est_rows <= 2_000_000:
+            lpdf = local.toPandas()
+            per_q_np = wand.merge_query_topk_driver(lpdf, k)
+        else:
+            merged = wand.merge_query_topk(local, k)
+            mr = merged.collect()
+            per_q_np = {}
+            for r in mr:
+                per_q_np.setdefault(r["query_id"], []).append(
+                    (r["doc_id_int"], r["score"])
+                )
+            for qid, rows in per_q_np.items():
+                rows.sort(key=lambda t: (-t[1], t[0]))
         need_ids: set[int] = set()
-        for qid, rows in per_q.items():
-            rows.sort(key=lambda r: (-r["score"], r["doc_id_int"]))
-            need_ids.update(r["doc_id_int"] for r in rows)
+        for rows in per_q_np.values():
+            need_ids.update(d for d, _ in rows)
         id_map = self._doc_ids_for(sorted(need_ids))
         out = {q: SearchResult(q, [], []) for q in queries}
-        for qid, rows in per_q.items():
+        for qid, rows in per_q_np.items():
             res = out[queries[qid]]
-            for r in rows:
-                res.docs.append(id_map[r["doc_id_int"]])
-                res.scores.append(r["score"])
+            for d, s in rows:
+                res.docs.append(id_map[d])
+                res.scores.append(s)
         return out
 
     def search_collect(self, query: str, k: int = 50, **kw) -> SearchResult:

@@ -115,12 +115,26 @@ def normalize_to_tokens(texts: pd.Series, cfg: NormalizeConfig = DEFAULT_CONFIG)
     return out
 
 
-from functools import lru_cache
+_QUERY_NORM_CACHE: dict[tuple[str, NormalizeConfig], tuple[str, ...]] = {}
+_QUERY_NORM_CACHE_MAX = 262144
 
 
-@lru_cache(maxsize=65536)
-def _normalize_one_cached(term: str, cfg: NormalizeConfig) -> tuple[str, ...]:
-    return tuple(normalize_to_tokens(pd.Series([term]), cfg).iloc[0])
+def prime_query_norm_cache(
+    terms: list[str], cfg: NormalizeConfig = DEFAULT_CONFIG
+) -> None:
+    """Bulk-normalize many query terms in ONE vectorized pandas pass and
+    prime the per-term cache. The per-term pipeline costs ~2-4 ms of
+    pandas overhead COLD, so a 256-query batch with a few hundred fresh
+    terms pays >1 s of constant driver time without this (which is pure
+    serial floor in the N->4N scaling criterion)."""
+    fresh = [t for t in dict.fromkeys(terms) if (t, cfg) not in _QUERY_NORM_CACHE]
+    if not fresh:
+        return
+    lists = normalize_to_tokens(pd.Series(fresh), cfg)
+    if len(_QUERY_NORM_CACHE) + len(fresh) > _QUERY_NORM_CACHE_MAX:
+        _QUERY_NORM_CACHE.clear()
+    for t, toks in zip(fresh, lists):
+        _QUERY_NORM_CACHE[(t, cfg)] = tuple(toks)
 
 
 def normalize_query_terms(
@@ -130,10 +144,12 @@ def normalize_query_terms(
 
     One token-list per input string (a TERM may normalize to 0, 1, or N
     tokens; a PHRASE body normalizes to its token sequence). Memoized per
-    (term, config) — query batches repeat pool terms heavily and the
-    per-call pandas pipeline overhead (~4 ms) dominates driver-side
-    parsing otherwise.
+    (term, config) — query batches repeat pool terms heavily; callers
+    with many queries should prime_query_norm_cache() first.
     """
     if not terms:
         return []
-    return [list(_normalize_one_cached(t, cfg)) for t in terms]
+    missing = [t for t in terms if (t, cfg) not in _QUERY_NORM_CACHE]
+    if missing:
+        prime_query_norm_cache(missing, cfg)
+    return [list(_QUERY_NORM_CACHE[(t, cfg)]) for t in terms]

@@ -82,14 +82,33 @@ class IndexBuildConfig:
 # --------------------------------------------------------------------------
 
 
-def assign_conv_ids(spark: SparkSession, transcripts: DataFrame, n_parts: int = 32) -> DataFrame:
+def assign_conv_ids(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    n_parts: int = 32,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
     """(conv_id) -> dense conv_int, ordered lexicographically.
 
-    Scale-safe: range-repartition by conv_id, rank within partitions
-    (window is per-partition, no single-reducer sort), then add partition
-    offsets computed from per-partition counts (tiny driver collect).
+    Fast path: when the distinct conv list fits the driver (one bounded
+    collect tells us), sort + rank in Python — ONE Spark job instead of
+    the range-sample + per-partition window + offsets three-job plan.
+    The bounded collect is itself scale-safe: limit(threshold+1) proves
+    over-threshold without materializing the full set on the driver.
+
+    Scale path (over threshold): range-repartition by conv_id, rank
+    within partitions (window is per-partition, no single-reducer sort),
+    then add partition offsets computed from per-partition counts (tiny
+    driver collect).
     """
     convs = transcripts.select("conv_id").distinct()
+    if driver_threshold:
+        head = convs.limit(driver_threshold + 1).toPandas()  # Arrow fetch
+        if len(head) <= driver_threshold:
+            ids = sorted(head["conv_id"])
+            pdf = pd.DataFrame({"conv_id": ids, "conv_int": range(len(ids))})
+            out = spark.createDataFrame(pdf, schema="conv_id string, conv_int long")
+            return out.repartition(min(n_parts, max(len(ids) // 10_000, 1)))
     parted = convs.repartitionByRange(n_parts, "conv_id").withColumn(
         "_pid", F.spark_partition_id()
     )

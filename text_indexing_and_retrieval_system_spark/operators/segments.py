@@ -178,6 +178,42 @@ def build_index(
 
     segments = spark.read.parquet(os.path.join(seg_root, "chunk=*"))
 
+    # doc-id range geometry — needed by stages 2/3/4 partitioning. Known
+    # from n_convs alone (no data pass).
+    max_doc = (n_convs << ib.TURN_BITS) + (1 << ib.TURN_BITS)
+    range_shift = max(int(max_doc / max(cfg.n_range_buckets, 1)).bit_length(), ib.TURN_BITS)
+    n_store_parts = max(cfg.n_range_buckets // 4, 1)
+    # shifting 2 more bits than the block bucketing yields ~n_range/4
+    # contiguous ranges — a COMPUTED partitioning column, so the exchange
+    # is a plain hash repartition (repartitionByRange would add a
+    # sampling pass over the child per write)
+    store_part_col = F.shiftrightunsigned(F.col("doc_id_int"), range_shift + 2)
+
+    # ---------------- stage 4 (concurrent): doc store ----------------
+    # independent of stages 2-3 (projection of the input); submitted on a
+    # separate thread so its scan overlaps the doclen/postings jobs
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    docs_path = os.path.join(index_dir, "docs")
+
+    def run_stage4() -> None:
+        if man.done("stage4_docs"):
+            return
+        t0 = time.time()
+        (
+            docs.select(
+                "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            )
+            .repartition(n_store_parts, store_part_col)
+            .sortWithinPartitions("doc_id_int")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+        man.record("stage4_docs", seconds=time.time() - t0, **lineage)
+
+    stage4_pool = _TPE(max_workers=1)
+    stage4_future = stage4_pool.submit(run_stage4)
+
     # ---------------- stage 2: doclen + stats ----------------
     doclen_path = os.path.join(index_dir, "doclen")
     stats_path = os.path.join(index_dir, "stats.json")
@@ -205,11 +241,8 @@ def build_index(
         from pyspark.sql import Observation
 
         obs = Observation("doclen_stats")
-        # observe ABOVE the range exchange: repartitionByRange runs a
-        # sampling pass over its child, which would double-count an
-        # observation placed below it
         (
-            doclen.repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int")
+            doclen.repartition(n_store_parts, store_part_col)
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n_docs"),
@@ -239,15 +272,19 @@ def build_index(
     lexicon_path = os.path.join(index_dir, "lexicon")
     if not man.done("stage3_postings"):
         t0 = time.time()
-        max_doc = (n_convs << ib.TURN_BITS) + (1 << ib.TURN_BITS)
-        range_shift = max(int(max_doc / max(cfg.n_range_buckets, 1)).bit_length(), ib.TURN_BITS)
         blocks = ib.build_blocks(segments, stats["avgdl"], cfg, range_shift)
         blocks = blocks.withColumn(
             "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
         )
         blocks = blocks.persist()
+        # 4 files per bucket dir: the sub-bucket hash (mod 4*n_buckets) is
+        # aligned with the bucket hash (mod n_buckets), so each write task
+        # holds exactly one bucket dir's rows and query scans get
+        # 4*n_buckets splittable files (scan parallelism) instead of one
+        # file per dir
+        sub_col = term_bucket_col(F.col("term"), cfg.n_term_buckets * 4)
         (
-            blocks.repartition(cfg.n_term_buckets, "bucket")
+            blocks.repartition(cfg.n_term_buckets * 4, sub_col)
             .sortWithinPartitions("term", "first_doc")
             .write.mode("overwrite")
             # small row groups: files are term-sorted, so per-row-group
@@ -294,20 +331,9 @@ def build_index(
             **lineage,
         )
 
-    # ---------------- stage 4: doc store ----------------
-    docs_path = os.path.join(index_dir, "docs")
-    if not man.done("stage4_docs"):
-        t0 = time.time()
-        (
-            docs.select(
-                "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
-            )
-            .repartitionByRange(max(cfg.n_range_buckets // 4, 1), "doc_id_int")
-            .sortWithinPartitions("doc_id_int")
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
-        man.record("stage4_docs", seconds=time.time() - t0, **lineage)
+    # ---------------- join the concurrent doc-store write ----------------
+    stage4_future.result()
+    stage4_pool.shutdown()
 
     man.record(
         "build",

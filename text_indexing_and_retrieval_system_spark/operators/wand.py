@@ -35,6 +35,21 @@ B = 0.75
 
 TOPK_SCHEMA = "doc_id_int long, score double"
 
+# fixed partition count for the bucket-kernel shuffles: an EXPLICIT
+# repartition (not groupBy's default) so AQE can't coalesce the stage
+# down by Arrow byte size — the kernel's cost is python CPU per bucket,
+# which AQE's size heuristic cannot see. 64 partitions over <=32 bucket
+# keys keeps hash collisions (two buckets on one task = a straggler)
+# rare while staying cheap at low core counts; identical at every
+# parallelism level so scaling runs compare identical plans.
+KERNEL_SHUFFLE_PARTITIONS = 64
+
+
+def _bucket_grouped(blocks: DataFrame):
+    return blocks.repartition(KERNEL_SHUFFLE_PARTITIONS, "range_bucket").groupBy(
+        "range_bucket"
+    )
+
 
 def _empty_topk() -> pd.DataFrame:
     return pd.DataFrame({"doc_id_int": [], "score": []}).astype(
@@ -307,7 +322,7 @@ def topk_disjunctive(
             acc_decoded.add(n_decoded)
         return out
 
-    return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
+    return _bucket_grouped(blocks).applyInPandas(run, schema=TOPK_SCHEMA)
 
 
 BATCH_TOPK_SCHEMA = "query_id int, doc_id_int long, score double"
@@ -384,7 +399,7 @@ def topk_disjunctive_batch(
             ).astype({"query_id": "int32", "doc_id_int": "int64", "score": "float64"})
         return pd.concat(frames, ignore_index=True)
 
-    return blocks.groupBy("range_bucket").applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
+    return _bucket_grouped(blocks).applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -573,15 +588,42 @@ def boolean_topk(
             return run_one(blocks_pdf, universe)
 
         return (
-            blocks.groupBy("range_bucket")
-            .cogroup(dl_b.groupBy("range_bucket"))
+            _bucket_grouped(blocks)
+            .cogroup(
+                dl_b.repartition(KERNEL_SHUFFLE_PARTITIONS, "range_bucket").groupBy(
+                    "range_bucket"
+                )
+            )
             .applyInPandas(run_co, schema=TOPK_SCHEMA)
         )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return run_one(pdf, None)
 
-    return blocks.groupBy("range_bucket").applyInPandas(run, schema=TOPK_SCHEMA)
+    return _bucket_grouped(blocks).applyInPandas(run, schema=TOPK_SCHEMA)
+
+
+def merge_query_topk_driver(
+    lpdf: pd.DataFrame, k: int
+) -> dict[int, list[tuple[int, float]]]:
+    """Driver-side vectorized merge of the per-(query, bucket) winners:
+    one lexsort over all rows instead of a Spark shuffle stage. Right
+    when k x queries x buckets fits the driver comfortably; the
+    distributed merge_query_topk is the large-cluster path."""
+    if lpdf.empty:
+        return {}
+    qids = lpdf["query_id"].to_numpy(dtype=np.int64)
+    docs = lpdf["doc_id_int"].to_numpy(dtype=np.int64)
+    scores = lpdf["score"].to_numpy(dtype=np.float64)
+    order = np.lexsort((docs, -scores, qids))  # by query, score desc, doc asc
+    qids, docs, scores = qids[order], docs[order], scores[order]
+    out: dict[int, list[tuple[int, float]]] = {}
+    starts = np.flatnonzero(np.r_[True, qids[1:] != qids[:-1]])
+    ends = np.r_[starts[1:], qids.size]
+    for s, e in zip(starts, ends):
+        e = min(e, s + k)
+        out[int(qids[s])] = list(zip(docs[s:e].tolist(), scores[s:e].tolist()))
+    return out
 
 
 def merge_query_topk(local: DataFrame, k: int) -> DataFrame:

@@ -225,9 +225,9 @@ def refresh_postings(
         "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
     )
     provider.write_staged(
-        blocks.repartition(cfg.n_term_buckets, "bucket").sortWithinPartitions(
-            "term", "first_doc"
-        ),
+        blocks.repartition(
+            cfg.n_term_buckets * 4, term_bucket_col(F.col("term"), cfg.n_term_buckets * 4)
+        ).sortWithinPartitions("term", "first_doc"),
         "postings",
         partition_by=("bucket",),
         options={"parquet.block.size": str(1 << 20)},
@@ -278,5 +278,10 @@ def refresh_postings(
     provider.commit_staged(["doclen", "postings", "lexicon", "docs"])
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
-    man.record("refresh_postings", range_shift=range_shift, **stats)
+    man.record(
+        "refresh_postings",
+        range_shift=range_shift,
+        n_terms=provider.num_rows("lexicon"),
+        **stats,
+    )
     return stats
