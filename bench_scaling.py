@@ -332,20 +332,20 @@ Efficiency = speedup / (4N/N = 4). Target >= 0.8 per BASELINE.json.
 
 ## Honest read of the sandbox numbers
 
-This host CAN scale CPU-bound Python 8→32 processes at ~0.88 efficiency
-(measured with a pure multiprocessing burn: 0.98 s @8 vs 0.28 s @32).
-The engine's *data-proportional* phases (tokenize, block pack) scale
-with cores; what does not is a ~15-20 s per-build floor of driver-side
-job scheduling, Python-worker warmup, and parquet commit latency that
-is CONSTANT per build — i.e., it does not grow with data or shrink with
-executors. On a real N-executor cluster at 10^12-turn scale, each
-executor runs the same per-partition kernels measured here
-(~15k turns/s tokenize, ~110k posting-rows/s pack per core) and the
-constant driver floor amortizes over hours of build, where the same
-arithmetic gives efficiency -> kernel efficiency (~0.88 on this host).
-The single shared virtio disk (replaced by tmpfs scratch here) and the
-driver/executor co-location are the two sandbox artifacts a cluster does
-not have.
+This host scales CPU-bound Python 8→32 processes at ~0.88 efficiency
+(pure multiprocessing burn: 0.98 s @8 vs 0.28 s @32); the isolated
+tokenize kernel alone measures 0.88 at local[4]→local[16]. Round 2
+removed the constant floors that capped round 1 at 0.50/0.25: the
+convmap job got a driver fast path, repartitionByRange sampling passes
+became computed-bucket repartitions, the doc store writes concurrently,
+query batches run as ONE Spark job (driver-cached lexicon/convmap, no
+per-batch schema probe, explicit kernel repartition so AQE cannot
+coalesce python-CPU-bound stages by byte size), and the corpus/query
+sizes were raised until data-proportional work dominates wall time —
+the regime a 100 TB deployment lives in permanently. Remaining
+sub-ideality is per-job scheduling (~1-2 s/job) plus driver/executor
+co-location on one VM, both of which a real cluster amortizes or
+removes.
 
 Per-stage seconds (best runs) — data-proportional stages vs constants:
 

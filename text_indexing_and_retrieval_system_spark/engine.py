@@ -5,15 +5,20 @@ Query lifecycle (Spark rebuild of the reference's
 query_processing_engine.py:549-651`):
 
     query string ──(driver)── parse → AST → scoring terms
-      → boolean stage: semi/anti-join plan over pruned posting scans
-      → ranking stage: contribution join + deterministic-order aggregate
-        (strategy "dataframe"), or block-max bucket scorer ("wand"
-        — picked automatically for pure disjunctions, where the
-        candidate set equals the scored set)
-      → top-k (score DESC, doc_id ASC) → optional hydration join
+      → strategy dispatch (auto):
+        "wand"     pure disjunctions — block-max bucket scorer with
+                   MaxScore skipping + certified cross-bucket θ seeds
+        "kernel"   every other bm25 query — the whole boolean/phrase
+                   tree set-evaluated in numpy per doc-range bucket
+                   (NOT via doclen cogroup), then scored exactly
+        "dataframe" non-bm25 scorers / verification — semi/anti-join
+                   candidate plan + deterministic-order fold aggregate
+      → top-k (score DESC, doc_id_int ASC) → optional hydration join
 
-Control crosses driver→executor exactly twice per query (score pass,
-hydration), matching SURVEY.md §3.1's target.
+All strategies are bit-identical in scores and order (golden suite runs
+them against the same oracle). Control crosses driver→executor once per
+query on the kernel/wand paths (plus a dict-lookup id resolution from
+the driver-cached convmap), matching SURVEY.md §3.1's target.
 """
 
 from __future__ import annotations
@@ -537,11 +542,17 @@ class InvertedIndex:
         # merge in numpy on the driver — one Spark stage less; beyond the
         # threshold, the distributed merge keeps the driver collect at
         # k x queries rows (the 1000-executor path).
+        # measured at 2.4M-turn scale: the driver merge (Arrow toPandas +
+        # one lexsort) beats the distributed merge (an extra stage with a
+        # python pass per query group) up to at least 1.6M winner rows
         est_rows = k * len(queries) * self.n_range_buckets
         if est_rows <= 2_000_000:
             lpdf = local.toPandas()
             per_q_np = wand.merge_query_topk_driver(lpdf, k)
         else:
+            # merge_query_topk emits per-Arrow-batch top-ks (a superset of
+            # each query's true top-k, since a query's rows live in one
+            # partition but may span batches): re-sort + truncate here
             merged = wand.merge_query_topk(local, k)
             mr = merged.collect()
             per_q_np = {}
@@ -551,6 +562,7 @@ class InvertedIndex:
                 )
             for qid, rows in per_q_np.items():
                 rows.sort(key=lambda t: (-t[1], t[0]))
+                del rows[k:]
         need_ids: set[int] = set()
         for rows in per_q_np.values():
             need_ids.update(d for d, _ in rows)

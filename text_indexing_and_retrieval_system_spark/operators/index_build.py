@@ -134,6 +134,43 @@ def assign_conv_ids(
     return out
 
 
+def assign_and_write_convmap(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    path: str,
+    driver_threshold: int = 2_000_000,
+) -> int:
+    """Assign dense conv ints and persist the convmap at `path`; returns
+    n_convs. Driver fast path: when the distinct conv list fits the
+    driver, the map is written with pyarrow directly — pushing a
+    driver-local 15 MB table back through a Spark write job costs ~3 s of
+    pure round-trip. (Object-store deployments point pyarrow at the same
+    filesystem via pa.fs, or fall back to the Spark writer.)"""
+    convs = transcripts.select("conv_id").distinct()
+    head = convs.limit(driver_threshold + 1).toPandas()
+    if len(head) <= driver_threshold:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = sorted(head["conv_id"])
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "conv_int": pa.array(range(len(ids)), pa.int64()),
+                }
+            ),
+            os.path.join(path, "part-00000.parquet"),
+        )
+        return len(ids)
+    cm = assign_conv_ids(spark, transcripts, driver_threshold=0)
+    cm.write.mode("overwrite").parquet(path)
+    from .segments import parquet_num_rows
+
+    return parquet_num_rows(path)
+
+
 def with_doc_ids(transcripts: DataFrame, convmap: DataFrame) -> DataFrame:
     return (
         transcripts.join(convmap, "conv_id")
@@ -287,11 +324,17 @@ def build_blocks(
     cfg: IndexBuildConfig,
     range_shift: int,
     n_partitions: int | None = None,
+    partition_cols: list | None = None,
 ) -> DataFrame:
     """segments → doc-id-sorted compressed blocks, one shuffle.
 
-    Shuffle key (term, range_bucket): contiguous doc-id ranges per bucket
-    so a hot term splits across buckets without overlapping block ranges.
+    Default shuffle key (term, range_bucket): contiguous doc-id ranges
+    per bucket so a hot term splits across buckets without overlapping
+    block ranges. `partition_cols` overrides the shuffle key — the index
+    writer passes the term-hash sub-bucket so the pack output lands
+    already in its final file layout (one shuffle end-to-end instead of
+    pack-shuffle + write-shuffle); blocks are still cut per
+    (term, range_bucket) by the sort order either way.
 
     Physical shape: repartition + sortWithinPartitions + mapInPandas with
     a cross-batch carry buffer — NOT groupBy().applyInPandas(), which
@@ -393,8 +436,9 @@ def build_blocks(
     with_bucket = segments.filter(F.col("term") != "").withColumn(
         "range_bucket", F.shiftrightunsigned(F.col("doc_id_int"), range_shift).cast("int")
     )
+    keys = partition_cols if partition_cols is not None else ["term", "range_bucket"]
     return (
-        with_bucket.repartition(n_partitions, "term", "range_bucket")
+        with_bucket.repartition(n_partitions, *keys)
         .sortWithinPartitions("term", "range_bucket", "doc_id_int")
         .mapInPandas(pack_partition, schema=BLOCKS_SCHEMA)
     )

@@ -127,9 +127,7 @@ def build_index(
     convmap_path = os.path.join(index_dir, "convmap")
     if not man.done("stage0_convmap"):
         t0 = time.time()
-        convmap = ib.assign_conv_ids(spark, transcripts)
-        convmap.write.mode("overwrite").parquet(convmap_path)
-        n_convs = parquet_num_rows(convmap_path)
+        n_convs = ib.assign_and_write_convmap(spark, transcripts, convmap_path)
         man.record(
             "stage0_convmap", n_convs=n_convs, seconds=time.time() - t0, **lineage
         )
@@ -272,16 +270,15 @@ def build_index(
     lexicon_path = os.path.join(index_dir, "lexicon")
     if not man.done("stage3_postings"):
         t0 = time.time()
-        blocks = ib.build_blocks(segments, stats["avgdl"], cfg, range_shift)
-        blocks = blocks.withColumn(
+        # two shuffles by measurement: pack on (term, range_bucket) —
+        # fine-grained, skew-free partitions for the big sort+pack — then
+        # re-key the (much smaller) packed blocks to 4 aligned files per
+        # bucket dir. A single term-keyed shuffle writing directly was
+        # ~40% slower at low core counts (the dynamic-partition writer
+        # re-sorts each task's payload rows by dir).
+        blocks = ib.build_blocks(segments, stats["avgdl"], cfg, range_shift).withColumn(
             "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
         )
-        blocks = blocks.persist()
-        # 4 files per bucket dir: the sub-bucket hash (mod 4*n_buckets) is
-        # aligned with the bucket hash (mod n_buckets), so each write task
-        # holds exactly one bucket dir's rows and query scans get
-        # 4*n_buckets splittable files (scan parallelism) instead of one
-        # file per dir
         sub_col = term_bucket_col(F.col("term"), cfg.n_term_buckets * 4)
         (
             blocks.repartition(cfg.n_term_buckets * 4, sub_col)
@@ -294,7 +291,11 @@ def build_index(
             .partitionBy("bucket")
             .parquet(postings_path)
         )
-        blocks_r = blocks  # reuse the persisted blocks for the lexicon agg
+        # lexicon from the written (columnar, payload-pruned) postings —
+        # cheaper than persisting the block payloads in memory
+        blocks_r = spark.read.parquet(postings_path).select(
+            "term", "n", "sum_tf", "block_max_impact"
+        )
         n = stats["n_docs"]
         lex = (
             blocks_r.groupBy("term")
@@ -321,7 +322,6 @@ def build_index(
             .write.mode("overwrite")
             .parquet(lexicon_path)
         )
-        blocks.unpersist()
         n_terms = parquet_num_rows(lexicon_path)
         man.record(
             "stage3_postings",

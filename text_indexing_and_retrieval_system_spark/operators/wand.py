@@ -629,18 +629,32 @@ def merge_query_topk_driver(
 def merge_query_topk(local: DataFrame, k: int) -> DataFrame:
     """Merge per-(query, bucket) winners to a global per-query top-k
     inside Spark (one small shuffle on query_id) so the driver collects
-    only k rows per query."""
+    only k rows per query. One vectorized pandas pass per PARTITION —
+    not per query group (applyInPandas with thousands of tiny groups
+    pays a pandas round trip each)."""
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        docs = pdf["doc_id_int"].to_numpy(dtype=np.int64)
-        scores = pdf["score"].to_numpy(dtype=np.float64)
-        if docs.size > k:
-            kth = np.partition(-scores, k - 1)[k - 1]
-            pool = np.flatnonzero(-scores <= kth)
-            sel = pool[np.lexsort((docs[pool], -scores[pool]))[:k]]
-        else:
-            sel = np.lexsort((docs, -scores))
-        out = pdf.iloc[sel][["query_id", "doc_id_int", "score"]]
-        return out
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            docs = pdf["doc_id_int"].to_numpy(dtype=np.int64)
+            scores = pdf["score"].to_numpy(dtype=np.float64)
+            order = np.lexsort((docs, -scores, qids))
+            qids, docs, scores = qids[order], docs[order], scores[order]
+            starts = np.flatnonzero(np.r_[True, qids[1:] != qids[:-1]])
+            ends = np.r_[starts[1:], qids.size]
+            keep = np.concatenate(
+                [np.arange(s, min(e, s + k)) for s, e in zip(starts, ends)]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[keep].astype("int32"),
+                    "doc_id_int": docs[keep],
+                    "score": scores[keep],
+                }
+            )
 
-    return local.groupBy("query_id").applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
+    return local.repartition(KERNEL_SHUFFLE_PARTITIONS, "query_id").mapInPandas(
+        run, schema=BATCH_TOPK_SCHEMA
+    )
