@@ -20,6 +20,31 @@ def test_batch_matches_single(built_index, oracle_index):
         assert batch[q].scores == single.scores == [s for _, s in want], q
 
 
+def test_batch_distributed_merge_matches_driver_merge(
+    built_index, oracle_index, monkeypatch
+):
+    """Forcing the distributed merge path (the large-cluster branch) must
+    give results identical to the driver merge and the oracle — including
+    the re-sort + truncate of per-Arrow-batch top-k supersets."""
+    from text_indexing_and_retrieval_system_spark import engine as eng
+
+    terms = sorted(
+        oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])
+    )
+    queries = [
+        f'"{terms[0]}"',
+        f'"{terms[1]}" OR "{terms[4]}"',
+        f'"{terms[2]}" OR "{terms[7]}" OR "{terms[9]}"',
+    ]
+    driver = built_index.search_batch(queries, k=12)
+    monkeypatch.setattr(eng, "DRIVER_MERGE_MAX_ROWS", 0)
+    dist = built_index.search_batch(queries, k=12)
+    for q in queries:
+        want = oracle_index.search(q, k=12, scorer="bm25")
+        assert dist[q].docs == driver[q].docs == [d for d, _ in want], q
+        assert dist[q].scores == driver[q].scores == [s for _, s in want], q
+
+
 def test_batch_duplicate_queries(built_index, oracle_index):
     """Repeated query strings (CLI 'batch' with duplicate lines) must not
     double the result lists — answered once, keyed by string."""

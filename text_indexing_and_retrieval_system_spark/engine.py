@@ -41,6 +41,11 @@ from .operators.segments import Manifests, build_index, term_bucket_py
 
 POSTINGS_SCHEMA = "term string, doc_id_int long, tf int, dl int, positions array<int>"
 
+# search_batch winner-merge crossover: at or below this many estimated
+# per-(query, bucket) winner rows the driver merges locally; above it the
+# distributed merge keeps the collect at k x queries rows
+DRIVER_MERGE_MAX_ROWS = 2_000_000
+
 
 def _unpack_blocks(blocks: DataFrame, with_positions: bool) -> DataFrame:
     """Compressed block rows → exploded postings (Arrow-batched numpy)."""
@@ -546,7 +551,7 @@ class InvertedIndex:
         # one lexsort) beats the distributed merge (an extra stage with a
         # python pass per query group) up to at least 1.6M winner rows
         est_rows = k * len(queries) * self.n_range_buckets
-        if est_rows <= 2_000_000:
+        if est_rows <= DRIVER_MERGE_MAX_ROWS:
             lpdf = local.toPandas()
             per_q_np = wand.merge_query_topk_driver(lpdf, k)
         else:
