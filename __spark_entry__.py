@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_lsh"] = lambda s, d: similarity.ann_topk_lsh(
         _emb(s, d), 0, dim=64, k=10, n_planes=8
     )
+    q["ann_topk_lsh_multiprobe"] = lambda s, d: similarity.ann_topk_lsh(
+        _emb(s, d), 0, dim=64, k=10, n_planes=8, multiprobe=1
+    )
 
     # ---- relational operators on the TPC-H-ish tables (scan/join/agg/topk) ----
     q["pricing_summary"] = _pricing_summary
@@ -281,6 +284,9 @@ def oracle_sql() -> dict[str, str]:
             dim=64, threshold=0.35, n_planes=4
         ),
         "ann_topk_lsh": similarity.sql_ann_topk_lsh(0, dim=64, k=10, n_planes=8),
+        "ann_topk_lsh_multiprobe": similarity.sql_ann_topk_lsh(
+            0, dim=64, k=10, n_planes=8, multiprobe=1
+        ),
         "pricing_summary": """
 select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
        round(sum(l_extendedprice), 2) as sum_base_price,

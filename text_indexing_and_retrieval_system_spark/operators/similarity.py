@@ -261,12 +261,19 @@ def sql_ann_topk_lsh(
     n_planes: int = 8,
     seed: int = 13,
     round_to: int = 4,
+    multiprobe: int = 0,
 ) -> str:
+    probe = "b.bucket = qb.bucket"
+    if multiprobe >= 1:
+        probe = "(" + " or ".join(
+            ["b.bucket = qb.bucket"]
+            + [f"b.bucket = xor(qb.bucket, {1 << p})" for p in range(n_planes)]
+        ) + ")"
     return f"""
 with {_sql_buckets_cte(dim, n_planes, seed)},
 qb as (select bucket from buckets where vec_id = {query_vec_id}),
 cand as (select b.vec_id from buckets b, qb
-         where b.bucket = qb.bucket and b.vec_id != {query_vec_id}),
+         where {probe} and b.vec_id != {query_vec_id}),
 q as (select embedding as q_emb from embeddings where vec_id = {query_vec_id}),
 ex as (select vec_id, x, i from exb
        where vec_id in (select vec_id from cand)),
@@ -324,17 +331,28 @@ def ann_topk_lsh(
     n_planes: int = 8,
     seed: int = 13,
     round_to: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, restricted to the query's LSH
-    bucket (union of fewer-plane prefixes would raise recall; this is the
-    minimal bucketed variant — scale path for 10^12 vectors)."""
+    bucket — the scale path for 10^12 vectors. `multiprobe=1` also probes
+    the n_planes buckets at Hamming distance 1 from the query's (one sign
+    bit flipped): the standard recall lever, costing n_planes+1 bucket
+    lookups instead of 1 while still touching a ~2^-(n_planes-log2(n+1))
+    fraction of the corpus. Recall is measured against brute force in
+    tests/test_ann_recall.py."""
     buckets = lsh_buckets(embeddings, dim, n_planes, seed)
     qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket")
     )
+    allowed = F.col("bucket") == F.col("qbucket")
+    if multiprobe >= 1:
+        for p in range(n_planes):
+            allowed = allowed | (
+                F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+            )
     cands = (
         buckets.crossJoin(F.broadcast(qb))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_vec_id))
+        .filter(allowed & (F.col("vec_id") != query_vec_id))
         .select("vec_id")
     )
     return cosine_topk(
