@@ -1,0 +1,108 @@
+"""Round-3 regression tests: ADVICE fixes (kernel scorer dispatch, theta
+seed index-version pinning, ranked_topk duplicate terms, idempotent docs
+append) + the >4-digit turn_idx doc_id collision fix."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from text_indexing_and_retrieval_system_spark import engine
+from text_indexing_and_retrieval_system_spark.operators.index_build import (
+    IndexBuildConfig,
+)
+from text_indexing_and_retrieval_system_spark.streaming import incremental as inc
+
+CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2)
+
+
+def test_kernel_strategy_respects_scorer(built_index):
+    """strategy='kernel' with a non-bm25 scorer must not silently return
+    BM25 scores (ADVICE r2 medium): it falls back to the DataFrame plan."""
+    q = '"said" OR "index"'  # forced kernel (auto would pick wand)
+    via_kernel = built_index.search_collect(q, k=10, scorer="tfidf", strategy="kernel")
+    via_df = built_index.search_collect(q, k=10, scorer="tfidf", strategy="dataframe")
+    assert via_kernel.docs == via_df.docs
+    assert via_kernel.scores == via_df.scores
+    # and it genuinely differs from the kernel's BM25 ranking scores
+    bm25 = built_index.search_collect(q, k=10, scorer="bm25", strategy="kernel")
+    assert bm25.scores != via_kernel.scores
+
+
+def test_ranked_topk_dedupes_terms(spark, corpus_pdf):
+    from text_indexing_and_retrieval_system_spark.operators import docquery
+
+    docs = spark.createDataFrame(corpus_pdf[["doc_id", "text"]])
+    once = docquery.ranked_topk(docs, ["said", "index"], "bm25", k=10).collect()
+    dup = docquery.ranked_topk(docs, ["said", "index", "said"], "bm25", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in once] == [
+        (r["doc_id"], r["score"]) for r in dup
+    ]
+
+
+def test_deep_conversation_doc_ids(spark, tmp_path):
+    """A conversation with >9,999 turns keeps collision-free doc_id
+    strings (VERDICT r2 wrong-#3: lpad truncated '10020' -> '1002')."""
+    n_turns = 10_050
+
+    def letters(i: int) -> str:  # digits are stripped by normalization
+        return "".join(chr(ord("a") + int(c)) for c in str(i))
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "deepconv",
+            "turn_idx": range(n_turns),
+            "role": "user",
+            "text": [f"filler uniqtok{letters(i)}" for i in range(n_turns)],
+            "tool": "",
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    idx = engine.build(spark, df, str(tmp_path / "deep"), CFG, input_desc="deep")
+    doclen = spark.read.parquet(os.path.join(idx.dir, "doclen")).toPandas()
+    assert len(doclen) == n_turns
+    assert doclen["doc_id"].nunique() == n_turns  # no truncation collisions
+    assert "deepconv:10020" in set(doclen["doc_id"])
+    # the driver-side convmap resolution path must agree with the build
+    tok = f"uniqtok{letters(10020)}"
+    res = idx.search_collect(f'"{tok}"', k=3)
+    assert res.docs == ["deepconv:10020"]
+    res_df = idx.search_collect(f'"{tok}"', k=3, strategy="dataframe")
+    assert res_df.docs == ["deepconv:10020"]
+
+
+def test_add_documents_replay_is_idempotent(spark, corpus_df, tmp_path):
+    """A replayed add_documents (crash between the docs append and the
+    manifest record) must not duplicate hydration rows (ADVICE r2 low)."""
+    first = corpus_df.filter(corpus_df.conv_id < "conv-00000060")
+    rest = corpus_df.filter(corpus_df.conv_id >= "conv-00000060")
+    idx_dir = str(tmp_path / "replay_idx")
+    engine.build(spark, first, idx_dir, CFG, input_desc="replay-base")
+
+    unit = inc.add_documents(spark, idx_dir, rest, CFG)
+    # simulate the crash-before-manifest replay: drop the manifest and re-run
+    os.remove(os.path.join(idx_dir, "_manifests", f"{unit}.json"))
+    unit2 = inc.add_documents(spark, idx_dir, rest, CFG)
+    assert unit2 == unit
+
+    docs = spark.read.parquet(os.path.join(idx_dir, "docs"))
+    dup = docs.groupBy("doc_id_int").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_index_version_changes_on_stats_rewrite(spark, corpus_df, tmp_path):
+    """The wand theta-seed key pins the index generation via stats.json's
+    mtime: any rewrite (build/refresh commit) must change it (ADVICE r2:
+    stale executor seeds across a same-stats refresh)."""
+    idx_dir = str(tmp_path / "ver_idx")
+    idx = engine.build(spark, corpus_df, idx_dir, CFG, input_desc="ver")
+    v1 = idx.index_version
+    stats_path = os.path.join(idx_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    with open(stats_path, "w") as f:  # same content, new generation
+        json.dump(stats, f, indent=2)
+    idx.reload()
+    assert idx.index_version != v1

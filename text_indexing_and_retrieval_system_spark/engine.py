@@ -105,6 +105,13 @@ class InvertedIndex:
             )
         with open(stats_path) as f:
             self.stats = json.load(f)
+        # monotonic index version: stats.json is rewritten by every build
+        # and every refresh_postings commit, so its mtime distinguishes
+        # index generations even when n_docs/avgdl happen to be unchanged
+        # (e.g. tombstone + re-add of same-length docs). Folded into the
+        # wand theta-seed key so executor-cached seeds from a previous
+        # generation can never prune against the new postings.
+        self.index_version = os.stat(stats_path).st_mtime_ns
         man = Manifests(self.dir)
         build_info = man.read("build") or man.read("stage3_postings")
         cfg = (build_info or {}).get("config", {})
@@ -381,6 +388,12 @@ class InvertedIndex:
         if strategy == "wand":
             return self._search_wand_rows(node, occ, k, scorer)
         if strategy == "kernel":
+            if scorer != "bm25":
+                # the kernel scores BM25 only; an explicit strategy="kernel"
+                # with another scorer (reachable via the CLI's independent
+                # --scorer/--strategy flags) falls back to the DataFrame
+                # plan instead of silently returning BM25 scores
+                return self._search_dataframe_rows(node, occ, all_tokens, k, scorer)
             return self._search_kernel_rows(node, occ, all_tokens, k)
         return self._search_dataframe_rows(node, occ, all_tokens, k, scorer)
 
@@ -425,10 +438,13 @@ class InvertedIndex:
         blocks = self.blocks_for(sorted(term_meta))
         # cross-bucket theta key: worker processes reuse certified k-th
         # scores across this query's buckets and across repeats of the
-        # query in the session; n_docs/avgdl pin the index version so a
-        # refresh invalidates stale seeds
+        # query in the session; index_version (stats.json mtime, bumped by
+        # every build/refresh commit) pins the index generation so a
+        # refresh invalidates stale seeds even when n_docs/avgdl are
+        # coincidentally unchanged
         qkey = (
-            f"{self.dir}|{self.stats['n_docs']}|{self.stats['avgdl']}|k={k}|"
+            f"{self.dir}|v{self.index_version}|{self.stats['n_docs']}|"
+            f"{self.stats['avgdl']}|k={k}|"
             + "|".join(f"{t}:{len(m)}" for t, m in sorted(term_meta.items()))
         )
         acc_total, acc_decoded = self._prune_accs()
@@ -481,10 +497,10 @@ class InvertedIndex:
 
             def did(i: int) -> str:
                 conv = self._convmap[i >> TURN_BITS]
-                t = str(i & ((1 << TURN_BITS) - 1))
-                # Spark lpad semantics: pad to 4, TRUNCATE beyond 4
-                t = t.rjust(4, "0") if len(t) <= 4 else t[:4]
-                return f"{conv}:{t}"
+                # %04d: zero-pad to 4 but NEVER truncate — mirrors the
+                # build side's format_string("%04d") so conversations with
+                # >9,999 turns keep collision-free doc_id strings
+                return f"{conv}:{(i & ((1 << TURN_BITS) - 1)):04d}"
 
             return {i: did(int(i)) for i in ids}
         if len(ids) <= 256:

@@ -152,6 +152,11 @@ def ranked_topk(docs: DataFrame, terms: list[str], scorer: str, k: int = 20) -> 
     """Free-text disjunctive top-k: sum of per-term contributions over
     the union of posting lists; (score DESC, doc_id ASC) total order.
 
+    Duplicate entries in `terms` are deduplicated (first occurrence
+    wins): the per-term tf columns are keyed by position, so a repeated
+    term would otherwise be scored twice, diverging from the SQL
+    oracles' DISTINCT-term semantics.
+
     Two jobs, two scans, zero shuffles (round-1 verdict wrong-#1 fixed —
     the old plan re-tokenized the corpus 3x through groupBy/join stages):
     1. a one-row stats aggregate (n_docs, avgdl, per-term df) over one
@@ -162,6 +167,7 @@ def ranked_topk(docs: DataFrame, terms: list[str], scorer: str, k: int = 20) -> 
     2. the scoring pass: per-doc tf/dl from the same single-scan
        projection -> score expression -> TakeOrderedAndProject(k).
     """
+    terms = list(dict.fromkeys(terms))
     proj = _tf_dl_projection(docs, terms)
     stats = proj.agg(
         F.count("*").alias("n"),

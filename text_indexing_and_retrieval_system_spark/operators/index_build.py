@@ -180,7 +180,9 @@ def with_doc_ids(transcripts: DataFrame, convmap: DataFrame) -> DataFrame:
         )
         .withColumn(
             "doc_id",
-            F.concat_ws(":", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 4, "0")),
+            # printf %04d: zero-pad to 4 but never truncate (lpad TRUNCATES
+            # past 4 chars — a >9,999-turn conversation would collide)
+            F.concat_ws(":", F.col("conv_id"), F.format_string("%04d", "turn_idx")),
         )
     )
 

@@ -228,9 +228,8 @@ def build_index(
             .join(convmap, "conv_int")
             .withColumn(
                 "doc_id",
-                F.concat_ws(
-                    ":", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 4, "0")
-                ),
+                # %04d pads but never truncates (see ib.with_doc_ids)
+                F.concat_ws(":", F.col("conv_id"), F.format_string("%04d", "turn_idx")),
             )
             .select("doc_id_int", "doc_id", "dl")
         )

@@ -138,12 +138,29 @@ def add_documents(
     seg = ib.tokenize_to_doc_postings(docs, cfg.normalize)
     path = os.path.join(index_dir, "segments", f"chunk={unit}")
     seg.write.mode("overwrite").parquet(path)
-    ParquetDirProvider(index_dir).append(
-        docs.select(
-            "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
-        ),
-        "docs",
+    provider = ParquetDirProvider(index_dir)
+    doc_cols = docs.select(
+        "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
+    if provider.exists("docs"):
+        # idempotent append: a replayed/resumed add (crash between the
+        # docs append and the manifest record) must not duplicate
+        # hydration rows. Anti-join against the id range this chunk
+        # covers — the docs store is doc_id_int-sorted within partitions,
+        # so the range predicate prunes to ~nothing on a fresh add (new
+        # convs land past the existing range); on a replay it matches the
+        # chunk's own rows and the append becomes a no-op.
+        bounds = seg.sparkSession.read.parquet(path).agg(
+            F.min("doc_id_int").alias("lo"), F.max("doc_id_int").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            already = (
+                provider.read(spark, "docs")
+                .filter(F.col("doc_id_int").between(bounds["lo"], bounds["hi"]))
+                .select("doc_id_int")
+            )
+            doc_cols = doc_cols.join(F.broadcast(already), "doc_id_int", "left_anti")
+    provider.append(doc_cols, "docs")
     n = spark.read.parquet(path).count()
     man.record(unit, rows=n, seconds=time.time() - t0)
     return unit
@@ -197,7 +214,8 @@ def refresh_postings(
         .join(convmap, "conv_int")
         .withColumn(
             "doc_id",
-            F.concat_ws(":", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 4, "0")),
+            # %04d pads but never truncates (see ib.with_doc_ids)
+            F.concat_ws(":", F.col("conv_id"), F.format_string("%04d", "turn_idx")),
         )
         .select("doc_id_int", "doc_id", "dl")
     )
