@@ -92,6 +92,42 @@ def test_add_documents_replay_is_idempotent(spark, corpus_df, tmp_path):
     assert dup == 0
 
 
+def test_jaccard_hot_shingle_guard(spark):
+    """Boilerplate shingles above max_shingle_df are dropped before the
+    self-join (VERDICT r2 #8): the quadratic fan-out on a shared
+    boilerplate string is bounded, semantics stay oracle-reproducible."""
+    import duckdb
+
+    from text_indexing_and_retrieval_system_spark.operators import dedup
+
+    boiler = "this content is provided as is without any warranty of any kind"
+    rows = [(f"d{i:03d}", f"{boiler} unique body number {'x' * (i % 7 + 1)} item {i}")
+            for i in range(40)]
+    # one true near-dup pair that shares real (non-boilerplate) content
+    rows.append(("d900", "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append(("d901", "alpha beta gamma delta epsilon zeta eta iota"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    got = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_shingle_df=10)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    # the boilerplate-only pairs are gone; the real near-dup pair survives
+    assert ("d900", "d901") in set(zip(got["doc_a"], got["doc_b"]))
+    boiler_pairs = got[(got["doc_a"] < "d900") & (got["doc_b"] < "d900")]
+    assert len(boiler_pairs) < 100  # unguarded would be 40*39/2 = 780 candidates
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        dedup.sql_ngram_jaccard_pairs(n=3, threshold=0.3, max_shingle_df=10)
+        + " order by doc_a, doc_b"
+    ).df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
 def test_index_version_changes_on_stats_rewrite(spark, corpus_df, tmp_path):
     """The wand theta-seed key pins the index generation via stats.json's
     mtime: any rewrite (build/refresh commit) must change it (ADVICE r2:

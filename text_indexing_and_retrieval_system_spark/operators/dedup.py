@@ -102,15 +102,37 @@ def sql_shingles(n: int = 3) -> str:
 # ----------------------------- exact Jaccard -----------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing >= 1 shingle and
     jaccard >= threshold. Exact; join is on shingle, so cost scales with
-    co-occurrence, not n^2."""
+    co-occurrence, not n^2.
+
+    `max_shingle_df` is the hot-shingle guard for the scale path: a
+    boilerplate shingle appearing in d docs fans the self-join out to
+    d*(d-1)/2 rows, so shingles with document frequency > max_shingle_df
+    are dropped from the similarity universe BEFORE the join (both from
+    the intersection and from the per-doc sizes, so the jaccard stays a
+    true Jaccard over the filtered shingle sets — deterministic,
+    oracle-reproducible semantics; see sql_ngram_jaccard_pairs). None
+    (the verify/oracle default) keeps the exact unfiltered semantics."""
     # no persist: the a/b self-join shuffles identical child plans, so
     # Catalyst's ReusedExchange materializes the shingle shuffle once;
     # `sizes` pays one extra tokenize scan instead of leaking a cached
     # relation per call (round-1 verdict wrong-#5)
     sh = shingles(docs, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -138,9 +160,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     return out
 
 
-def sql_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5) -> str:
+def sql_ngram_jaccard_pairs(
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None
+) -> str:
+    guard = (
+        ""
+        if max_shingle_df is None
+        else (
+            " where shingle in (select shingle from sh0 group by shingle"
+            f" having count(*) <= {max_shingle_df})"
+        )
+    )
     return f"""
-with sh as ({sql_shingles(n)}),
+with sh0 as ({sql_shingles(n)}),
+sh as (select * from sh0{guard}),
 sz as (select doc_id, count(*) as sz from sh group by doc_id),
 inter as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
           from sh a join sh b using (shingle) where a.doc_id < b.doc_id
@@ -261,38 +294,32 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     token hashes; bit b set iff sum over tokens of (+1 if bit set else
     -1) > 0 — equivalently iff 2 * count(tokens with bit set) > n_tokens.
 
-    Zero-shuffle formulation: hash the token array once into a bound
-    column (md5 per token — NOT inside the per-bit lambdas, see the
-    Catalyst-inlining lesson in `_shingle_array`), then evaluate the 32
-    per-bit majority votes as array `filter` sizes per row. Replaces the
-    round-1 explode(tokens x bits) plan that pushed a 32x row blowup
-    through a groupBy shuffle (verdict wrong-#3)."""
+    Formulation chosen by measurement (scripts/bench_simhash.py): explode
+    tokens -> ONE groupBy(doc_id) with 32 conditional-sum aggregates.
+    The explode does NOT blow up the shuffle — the hash aggregate's
+    map-side partial combine folds each partition's tokens down to one
+    33-column row per doc before the exchange, and the whole pipeline
+    stays in whole-stage codegen. The round-2 "zero-shuffle" variant (32
+    per-bit array-filter passes) keeps everything in interpreted
+    higher-order lambdas and measured 1.6x slower at sf0.1 and at 10x
+    sf0.1 (10.9 s vs 7.0 s); a fused single-aggregate traversal measured
+    worse still (12.9 s)."""
     base = docs.select("doc_id", _toks_array(docs).alias("__toks"))
-    harr = F.transform(
-        F.col("__toks"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    tok = base.select("doc_id", F.explode("__toks").alias("__t")).withColumn(
+        "__h", F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
     )
-    # empty docs have no votes — drop them (matches the exploded
-    # formulation and the SQL oracle, where zero token rows -> no group)
-    hashed = base.select("doc_id", harr.alias("__h")).filter(F.size("__h") > 0)
-    n_tok = F.size(F.col("__h")).cast("long")
-
-    def n_set_col(b: int):
-        # single-arg lambda only — F.filter treats a second lambda
-        # parameter as the element index
-        return F.size(
-            F.filter(
-                F.col("__h"),
-                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
-            )
-        ).cast("long")
-
+    # empty docs have no token rows -> no group (matches the SQL oracle)
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+        for b in range(bits)
+    ]
+    g = tok.groupBy("doc_id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for b in range(bits):
         sim = sim + F.when(
-            n_set_col(b) * 2 > n_tok, F.lit(1 << b).cast("long")
+            F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
         ).otherwise(0)
-    return hashed.select("doc_id", sim.alias("simhash"))
+    return g.select("doc_id", sim.alias("simhash"))
 
 
 def sql_simhash(bits: int = 32) -> str:

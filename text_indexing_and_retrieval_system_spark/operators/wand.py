@@ -487,6 +487,22 @@ def _phrase_eval_factory(pdf: pd.DataFrame, words: tuple[str, ...]):
             pos_parts.extend(pos)
         per_word[term] = (np.concatenate(docs_parts), pos_parts)
 
+    def enc_positions(w: str, common: np.ndarray) -> np.ndarray:
+        """Flatten word w's position lists over the common docs into ONE
+        sorted array of (doc_ordinal << 32) | position — adjacency then
+        becomes whole-array set intersection instead of a per-doc loop.
+        Positions are tiny (token offsets within one turn), so `enc - i`
+        can never wrap into the previous doc ordinal's range."""
+        d_w, pos_w = per_word[w]
+        idx = np.searchsorted(d_w, common)
+        lists = [pos_w[int(j)] for j in idx]
+        lens = np.fromiter((len(p) for p in lists), dtype=np.int64, count=len(lists))
+        if not lens.sum():
+            return np.empty(0, dtype=np.int64)
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in lists if len(p)])
+        ords = np.repeat(np.arange(len(common), dtype=np.int64), lens)
+        return (ords << 32) | flat
+
     def ev(ws: tuple[str, ...]) -> np.ndarray:
         if any(w not in per_word for w in ws):
             return np.empty(0, dtype=np.int64)
@@ -495,21 +511,18 @@ def _phrase_eval_factory(pdf: pd.DataFrame, words: tuple[str, ...]):
             common = np.intersect1d(common, per_word[w][0], assume_unique=True)
         if common.size == 0 or len(ws) == 1:
             return common
-        out = []
-        for doc in common:
-            starts = np.asarray(
-                per_word[ws[0]][1][int(np.searchsorted(per_word[ws[0]][0], doc))],
-                dtype=np.int64,
+        # vectorized adjacency (round-2 verdict wrong-#2: the old per-doc
+        # python loop degraded on hot phrases over big candidate sets):
+        # a start position p survives word i iff p + i is among word i's
+        # positions in the same doc, i.e. enc(p) ∈ enc(word_i) - i
+        starts = enc_positions(ws[0], common)
+        for i, w in enumerate(ws[1:], start=1):
+            if starts.size == 0:
+                break
+            starts = np.intersect1d(
+                starts, enc_positions(w, common) - i, assume_unique=True
             )
-            for i, w in enumerate(ws[1:], start=1):
-                d_w, pos_w = per_word[w]
-                p = np.asarray(pos_w[int(np.searchsorted(d_w, doc))], dtype=np.int64)
-                starts = starts[np.isin(starts + i, p)]
-                if starts.size == 0:
-                    break
-            if starts.size:
-                out.append(doc)
-        return np.asarray(out, dtype=np.int64)
+        return common[np.unique(starts >> 32)]
 
     return ev
 
