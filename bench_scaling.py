@@ -195,10 +195,8 @@ def worker_phases(cores: int, n_convs: int) -> None:
     out["segment_rows"] = n_seg
 
     segments = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "segments", "chunk=*"))
-    with open(os.path.join(PHASE_STAGE_DIR, "idx", "stats.json")) as f:
-        avgdl = json.load(f)["avgdl"]
     t0 = time.time()
-    ib.build_blocks(segments, avgdl, cfg, 30, n_partitions=32).count()
+    ib.build_blocks(segments, cfg, 30, n_partitions=32).count()
     out["pack_sec"] = round(time.time() - t0, 2)
     out["pack_rows_per_sec"] = round(n_seg / out["pack_sec"], 1)
 

@@ -56,3 +56,22 @@ def test_batch_equals_per_block(blocks, with_pos):
         assert got[b] == want, f"block {b} differs"
         d, t, l, p = codec.unpack_postings(got[b], with_positions=with_pos)
         assert list(d) == list(doc_ids[s:e])
+
+    if not with_pos:
+        # batch unpack must invert batch pack (core payloads)
+        bn, d_all, t_all, l_all = codec.unpack_postings_batch(got)
+        assert list(bn) == [e - s for s, e in zip(starts, ends)]
+        assert list(d_all) == list(doc_ids)
+        assert list(t_all) == list(tfs)
+        assert list(l_all) == list(dls)
+    else:
+        # the positions column layout: concatenated per-row [len]+gaps
+        from text_indexing_and_retrieval_system_spark.operators.index_build import (
+            _encode_position_rows,
+        )
+
+        for b, (s, e) in enumerate(zip(starts, ends)):
+            pos_bytes = b"".join(_encode_position_rows(list(pos_rows[s:e])))
+            decoded = codec.unpack_positions(pos_bytes, e - s)
+            for want_row, got_row in zip(pos_rows[s:e], decoded):
+                assert list(want_row) == list(got_row)

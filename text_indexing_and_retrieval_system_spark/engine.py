@@ -43,30 +43,35 @@ POSTINGS_SCHEMA = "term string, doc_id_int long, tf int, dl int, positions array
 
 # search_batch winner-merge crossover: at or below this many estimated
 # per-(query, bucket) winner rows the driver merges locally; above it the
-# distributed merge keeps the collect at k x queries rows
-DRIVER_MERGE_MAX_ROWS = 2_000_000
+# distributed merge keeps the collect at ~k x queries rows (env override
+# for scaling experiments)
+DRIVER_MERGE_MAX_ROWS = int(os.environ.get("TIRS_DRIVER_MERGE_MAX_ROWS", "2000000"))
 
 
 def _unpack_blocks(blocks: DataFrame, with_positions: bool) -> DataFrame:
-    """Compressed block rows → exploded postings (Arrow-batched numpy)."""
+    """Compressed block rows → exploded postings (Arrow-batched numpy).
+    Positions live in their own `pos_payload` column, only selected (and
+    so only scanned/decoded) when the caller needs them."""
+    cols = ["term", "payload"] + (["pos_payload"] if with_positions else [])
 
     def run(batches):
         for pdf in batches:
             outs = []
-            for term, payload in zip(pdf["term"], pdf["payload"]):
-                d, tf, dl, pos = codec.unpack_postings(
-                    bytes(payload), with_positions=with_positions
-                )
+            for row in pdf.itertuples(index=False):
+                d, tf, dl, _ = codec.unpack_postings(bytes(row.payload))
+                if with_positions:
+                    pos = codec.unpack_positions(bytes(row.pos_payload), len(d))
+                    pos_col = [list(p) for p in pos]
+                else:
+                    pos_col = [None] * len(d)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "term": term,
+                            "term": row.term,
                             "doc_id_int": d,
                             "tf": tf.astype("int32"),
                             "dl": dl.astype("int32"),
-                            "positions": [list(p) for p in pos]
-                            if with_positions
-                            else [None] * len(d),
+                            "positions": pos_col,
                         }
                     )
                 )
@@ -74,7 +79,7 @@ def _unpack_blocks(blocks: DataFrame, with_positions: bool) -> DataFrame:
                 columns=["term", "doc_id_int", "tf", "dl", "positions"]
             )
 
-    return blocks.select("term", "payload").mapInPandas(run, schema=POSTINGS_SCHEMA)
+    return blocks.select(*cols).mapInPandas(run, schema=POSTINGS_SCHEMA)
 
 
 @dataclass
@@ -117,6 +122,10 @@ class InvertedIndex:
         cfg = (build_info or {}).get("config", {})
         self.n_term_buckets = cfg.get("n_term_buckets", 16)
         self.n_range_buckets = cfg.get("n_range_buckets", 32)
+        # kernel tasks: one shuffle partition per range bucket via the
+        # slot mapping (wand._with_slot) — no collision stragglers, no
+        # empty partitions. +1 covers the geometry's edge bucket.
+        self.kernel_buckets = self.n_range_buckets + 1
         self.range_shift = None  # doc-id range bucketing of the postings
         for unit in ("refresh_postings", "stage3_postings"):
             info = man.read(unit)
@@ -150,21 +159,54 @@ class InvertedIndex:
 
     # ------------------------------ scans ------------------------------
 
-    def blocks_for(self, tokens: list[str]) -> DataFrame:
+    def blocks_for(self, tokens: list[str], with_positions: bool = False) -> DataFrame:
         """Posting blocks for normalized tokens — bucket-dir pruned +
         term predicate pushed to parquet row groups. The reader relation
         is built once per handle (a fresh spark.read.parquet costs a
-        1-task schema/footer job per query)."""
+        1-task schema/footer job per query).
+
+        `with_positions=False` (the ranked/boolean default) drops the
+        `pos_payload` column BEFORE any shuffle, so parquet column
+        pruning keeps position bytes entirely off the hot path — only
+        phrase queries pay for them."""
         buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
         if self._postings_df is None:
             self._postings_df = self.spark.read.parquet(
                 os.path.join(self.dir, "postings")
             )
+            if "pos_payload" not in self._postings_df.columns:
+                raise ValueError(
+                    f"index at {self.dir} predates the split payload/pos_payload "
+                    "block format — rebuild it (positions were inlined in "
+                    "`payload` before round 3)"
+                )
         df = self._postings_df
-        return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(tokens))
+        if "block_max_impact" not in df.columns:
+            # round-3 block format stores (max_tf, min_dl); the impact
+            # upper bound is folded in here with the index's avgdl (an
+            # exact-pruning bound — see ib.impact_bound_col)
+            from .operators.index_build import impact_bound_col
+
+            df = df.withColumn(
+                "block_max_impact", impact_bound_col(self.stats["avgdl"])
+            )
+        if not with_positions:
+            df = df.drop("pos_payload")
+        # one-shot SQL IN expression: Column.isin(tokens) costs a py4j
+        # round trip PER literal (~1.5 s at 2k terms, pure driver time);
+        # expr() ships one string and parses JVM-side. Same plan, same
+        # parquet row-group pushdown.
+        if not tokens:
+            return df.filter(F.lit(False))
+        quoted = ",".join("'" + t.replace("'", "\\'") + "'" for t in tokens)
+        return df.filter(F.col("bucket").isin(buckets)).filter(
+            F.expr(f"term IN ({quoted})")
+        )
 
     def postings_for(self, tokens: list[str], with_positions: bool = False) -> DataFrame:
-        return _unpack_blocks(self.blocks_for(tokens), with_positions)
+        return _unpack_blocks(
+            self.blocks_for(tokens, with_positions=with_positions), with_positions
+        )
 
     LEX_DRIVER_CACHE_MAX = 5_000_000  # terms; ~0.5 GB driver budget
     CONVMAP_DRIVER_CACHE_MAX = 5_000_000  # convs
@@ -216,9 +258,14 @@ class InvertedIndex:
         reload() drops the cached relation. (On a 10^12-doc deployment the
         executors' storage tier holds it the same way.)"""
         if self._doclen_df is None:
-            self._doclen_df = self.spark.read.parquet(
-                os.path.join(self.dir, "doclen")
-            ).persist()
+            self._doclen_df = (
+                self.spark.read.parquet(os.path.join(self.dir, "doclen"))
+                # a fresh build writes doclen/chunk=<i>/ (per-chunk
+                # pipeline); drop the inferred partition column so the
+                # relation is shape-identical to a refreshed (flat) one
+                .select("doc_id_int", "doc_id", "dl")
+                .persist()
+            )
         return self._doclen_df
 
     def docs(self) -> DataFrame:
@@ -414,7 +461,9 @@ class InvertedIndex:
             node, lambda s: normalize_query_terms([s], self.normalize_cfg)[0]
         )
         term_meta = self._term_meta(occ)
-        blocks = self.blocks_for(all_tokens)
+        blocks = self.blocks_for(
+            all_tokens, with_positions=wand.tree_has(tree, "phrase")
+        )
         needs_universe = wand.tree_has(tree, "not")
         local = wand.boolean_topk(
             blocks,
@@ -424,6 +473,7 @@ class InvertedIndex:
             k,
             doclen=self.doclen() if needs_universe else None,
             range_shift=self.range_shift,
+            n_buckets=self.kernel_buckets,
         )
         return self._finalize_topk(local.collect(), k)
 
@@ -457,6 +507,7 @@ class InvertedIndex:
             query_key=qkey,
             acc_total=acc_total,
             acc_decoded=acc_decoded,
+            n_buckets=self.kernel_buckets,
         )
         # per-bucket winners are tiny (<= k x n_buckets): merge on the
         # driver and resolve doc_id strings with one pruned point-lookup —
@@ -518,14 +569,23 @@ class InvertedIndex:
         return {r["doc_id_int"]: r["doc_id"] for r in got}
 
     def search_batch(
-        self, queries: list[str], k: int = 50
+        self, queries: list[str], k: int = 50, timings: dict | None = None
     ) -> dict[str, SearchResult]:
         """Batched free-text BM25 top-k: ONE distributed pass for all
         queries (shared block scan + decode). Each query's scoring terms
         are its normalized TERM occurrences (NOT-subtrees excluded) —
         ranked-retrieval semantics; boolean filtering uses search().
         Duplicate query strings are answered once (the result dict is
-        keyed by query string)."""
+        keyed by query string). `timings`, when passed, is filled with
+        per-phase wall seconds (driver-tail attribution for the scaling
+        bench)."""
+        import time as _time
+
+        marks = [("start", _time.time())]
+
+        def mark(label: str) -> None:
+            marks.append((label, _time.time()))
+
         queries = list(dict.fromkeys(queries))  # dedupe, keep first-seen order
         nodes = [qp.parse(q) for q in queries]
         # bulk-normalize every raw term across the batch in one vectorized
@@ -537,6 +597,7 @@ class InvertedIndex:
             raw_terms.extend(qp.scoring_terms(node))
             raw_terms.extend(qp.collect_positive_terms(node))
         prime_query_norm_cache(raw_terms, self.normalize_cfg)
+        mark("parse_normalize")
 
         metas: dict[int, dict[str, list[tuple[int, float]]]] = {}
         all_tokens: set[str] = set()
@@ -547,7 +608,9 @@ class InvertedIndex:
             all_tokens.update(t for _, t in occ)
         if not all_tokens:
             return {q: SearchResult(q, [], []) for q in queries}
+        mark("tokens")
         lex = self.lexicon_for(sorted(all_tokens))
+        mark("lexicon")
         idf_by_term = dict(zip(lex["term"], lex["idf"]))
         for qid, occ in enumerate(occ_by_q):
             meta: dict[str, list[tuple[int, float]]] = {}
@@ -557,7 +620,14 @@ class InvertedIndex:
             metas[qid] = meta
         known = sorted({t for m in metas.values() for t in m})
         blocks = self.blocks_for(known)
-        local = wand.topk_disjunctive_batch(blocks, metas, self.stats["avgdl"], k)
+        # broadcast the per-query metadata: as a plain closure capture it
+        # would be re-unpickled by every kernel task (grows with batch
+        # size); as a broadcast it's fetched once per worker process
+        bc_metas = self.spark.sparkContext.broadcast(metas)
+        local = wand.topk_disjunctive_batch(
+            blocks, bc_metas, self.stats["avgdl"], k, n_buckets=self.kernel_buckets
+        )
+        mark("plan")
         # merge the per-(query, bucket) winners to per-query top-k:
         # small batches (k x queries x buckets winners fit the driver)
         # merge in numpy on the driver — one Spark stage less; beyond the
@@ -569,31 +639,37 @@ class InvertedIndex:
         est_rows = k * len(queries) * self.n_range_buckets
         if est_rows <= DRIVER_MERGE_MAX_ROWS:
             lpdf = local.toPandas()
+            mark("kernel_and_collect")
             per_q_np = wand.merge_query_topk_driver(lpdf, k)
+            mark("driver_merge")
         else:
-            # merge_query_topk emits per-Arrow-batch top-ks (a superset of
-            # each query's true top-k, since a query's rows live in one
-            # partition but may span batches): re-sort + truncate here
+            # distributed merge: one query_id shuffle folds the winner
+            # volume down to ~k rows per query BEFORE the driver collect
+            # (merge_query_topk emits per-Arrow-batch top-ks — a small
+            # superset, since a query's rows share a partition but may
+            # span batches); the final exact cut reuses the vectorized
+            # driver merge on that superset
             merged = wand.merge_query_topk(local, k)
-            mr = merged.collect()
-            per_q_np = {}
-            for r in mr:
-                per_q_np.setdefault(r["query_id"], []).append(
-                    (r["doc_id_int"], r["score"])
-                )
-            for qid, rows in per_q_np.items():
-                rows.sort(key=lambda t: (-t[1], t[0]))
-                del rows[k:]
+            lpdf = merged.toPandas()
+            mark("kernel_and_collect")
+            per_q_np = wand.merge_query_topk_driver(lpdf, k)
+            mark("distributed_merge")
+        bc_metas.unpersist(blocking=False)
         need_ids: set[int] = set()
         for rows in per_q_np.values():
             need_ids.update(d for d, _ in rows)
         id_map = self._doc_ids_for(sorted(need_ids))
+        mark("id_resolution")
         out = {q: SearchResult(q, [], []) for q in queries}
         for qid, rows in per_q_np.items():
             res = out[queries[qid]]
             for d, s in rows:
                 res.docs.append(id_map[d])
                 res.scores.append(s)
+        mark("assemble")
+        if timings is not None:
+            for (_, t0), (label, t1) in zip(marks, marks[1:]):
+                timings[label] = timings.get(label, 0.0) + (t1 - t0)
         return out
 
     def search_collect(self, query: str, k: int = 50, **kw) -> SearchResult:

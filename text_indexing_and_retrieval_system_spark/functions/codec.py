@@ -228,6 +228,69 @@ def pack_postings_batch(
     return [bytes(mv[int(s) : int(e)]) for s, e in zip(blk_byte_start, blk_byte_end)]
 
 
+def unpack_postings_batch(payloads) -> tuple[np.ndarray, ...]:
+    """Decode MANY core-payload blocks in one vectorized pass.
+
+    `payloads` is a sequence of CORE payloads (no positions section:
+    varint [n] + doc gaps + tfs + dls — the `payload` column layout).
+    Returns (block_n, doc_ids, tfs, dls): `block_n[b]` rows per block,
+    and the per-row arrays concatenated in block order (doc ids already
+    gap-decoded with per-block reset).
+
+    Equivalent to calling :func:`unpack_postings` per block but ~10x
+    faster: one varbyte pass over the concatenated byte stream + index
+    arithmetic, instead of per-block numpy setup overhead (~90us/block
+    measured on 128-row blocks)."""
+    n_blocks = len(payloads)
+    if n_blocks == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n_blocks)
+    stream = b"".join(bytes(p) for p in payloads)
+    b = np.frombuffer(stream, dtype=np.uint8)
+    S = varbyte_decode(stream)
+    # map block byte starts -> int indices (ints end at stop-bit bytes)
+    int_end_bytes = np.flatnonzero(b & 128)
+    byte_starts = np.cumsum(lens) - lens
+    int_start = np.searchsorted(int_end_bytes, byte_starts)
+    block_n = S[int_start]
+    total_rows = int(block_n.sum())
+    if total_rows == 0:
+        z = np.empty(0, dtype=np.int64)
+        return block_n, z, z, z
+    row_block = np.repeat(np.arange(n_blocks), block_n)
+    row_starts = np.cumsum(block_n) - block_n
+    rel = np.arange(total_rows) - row_starts[row_block]
+    idx = int_start[row_block] + 1 + rel
+    gaps = S[idx]
+    nbr = block_n[row_block]
+    tfs = S[idx + nbr]
+    dls = S[idx + 2 * nbr]
+    # gap decode with per-block reset: cumsum, then subtract the running
+    # total carried in from previous blocks
+    tot = np.cumsum(gaps)
+    carry = np.zeros(n_blocks, dtype=np.int64)
+    carry[1:] = tot[row_starts[1:] - 1]
+    doc_ids = tot - carry[row_block]
+    return block_n, doc_ids, tfs, dls
+
+
+def unpack_positions(pos_payload: bytes, n_rows: int) -> list[np.ndarray]:
+    """Decode a block's positions column: per row varint [len] + position
+    gaps (the byte layout `_encode_position_rows` emits, stored in the
+    separate `pos_payload` parquet column so ranked queries never scan,
+    shuffle, or decode position bytes)."""
+    S = varbyte_decode(pos_payload)
+    out: list[np.ndarray] = []
+    idx = 0
+    for _ in range(n_rows):
+        plen = int(S[idx])
+        idx += 1
+        out.append(gap_decode(S[idx : idx + plen]))
+        idx += plen
+    return out
+
+
 def unpack_postings(payload: bytes, with_positions: bool = False):
     """Returns (doc_ids, tfs, doclens, positions|None)."""
     all_ints_pos = varbyte_decode(payload)  # decode everything in one pass

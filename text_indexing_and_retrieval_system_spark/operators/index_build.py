@@ -304,7 +304,7 @@ def tokenize_to_doc_postings(docs: DataFrame, cfg: NormalizeConfig) -> DataFrame
 
 BLOCKS_SCHEMA = (
     "term string, range_bucket int, first_doc long, last_doc long, n int, "
-    "block_max_impact double, sum_tf long, payload binary"
+    "max_tf int, min_dl int, sum_tf long, payload binary, pos_payload binary"
 )
 
 
@@ -314,15 +314,32 @@ _BLOCK_COLS = [
     "first_doc",
     "last_doc",
     "n",
-    "block_max_impact",
+    "max_tf",
+    "min_dl",
     "sum_tf",
     "payload",
+    "pos_payload",
 ]
+
+
+def impact_bound_col(avgdl: float):
+    """Per-block BM25 impact upper bound from the stored (max_tf, min_dl)
+    pair: impact is monotone increasing in tf and decreasing in dl, so
+    impact(max_tf, min_dl) >= impact(tf_i, dl_i) for every posting in the
+    block. Computed at READ time (blocks_for) so block packing needs no
+    global avgdl — that's what lets stage 3 run per chunk, pipelined with
+    tokenize, instead of behind a global-stats barrier. WAND/MaxScore
+    pruning stays exact under any valid upper bound (wand.py phase A)."""
+    tf = F.col("max_tf").cast("double")
+    return (
+        tf
+        * (K1 + 1.0)
+        / (tf + K1 * ((1.0 - B) + (B * F.col("min_dl").cast("double")) / float(avgdl)))
+    )
 
 
 def build_blocks(
     segments: DataFrame,
-    avgdl: float,
     cfg: IndexBuildConfig,
     range_shift: int,
     n_partitions: int | None = None,
@@ -371,9 +388,11 @@ def build_blocks(
             block_ends[:-1] = block_starts[1:]
             block_ends[-1] = n
 
-            # core = varbyte([n] + doc gaps + tfs + dls); positions section
-            # is the concatenation of the rows' pre-encoded bytes
-            cores = codec.pack_postings_batch(doc_ids, tfs, dls, block_starts, None)
+            # payload = varbyte([n] + doc gaps + tfs + dls); positions go
+            # to their OWN column (concatenation of the rows' pre-encoded
+            # bytes) so ranked queries never scan/shuffle/decode them —
+            # parquet column pruning halves the hot read path
+            payloads = codec.pack_postings_batch(doc_ids, tfs, dls, block_starts, None)
             if store_pos:
                 row_bytes = pdf["positions"].to_list()
                 row_lens = np.fromiter(
@@ -384,15 +403,14 @@ def build_blocks(
                 blk_byte_start = byte_ends[block_starts] - row_lens[block_starts]
                 blk_byte_end = byte_ends[block_ends - 1]
                 mv = memoryview(all_bytes)
-                payloads = [
-                    core + bytes(mv[int(s) : int(e)])
-                    for core, s, e in zip(cores, blk_byte_start, blk_byte_end)
+                pos_payloads = [
+                    bytes(mv[int(s) : int(e)])
+                    for s, e in zip(blk_byte_start, blk_byte_end)
                 ]
             else:
-                payloads = cores
-            tf_f = tfs.astype(np.float64)
-            denom = tf_f + K1 * ((1.0 - B) + (B * dls.astype(np.float64)) / avgdl)
-            impact = tf_f * (K1 + 1.0) / denom
+                pos_payloads = [None] * len(payloads)
+            # (max_tf, min_dl) give a read-time BM25 impact upper bound
+            # (see impact_bound_col) — no avgdl needed at pack time
             return pd.DataFrame(
                 {
                     "term": terms[block_starts],
@@ -400,9 +418,11 @@ def build_blocks(
                     "first_doc": doc_ids[block_starts],
                     "last_doc": doc_ids[block_ends - 1],
                     "n": (block_ends - block_starts).astype("int32"),
-                    "block_max_impact": np.maximum.reduceat(impact, block_starts),
+                    "max_tf": np.maximum.reduceat(tfs, block_starts).astype("int32"),
+                    "min_dl": np.minimum.reduceat(dls, block_starts).astype("int32"),
                     "sum_tf": np.add.reduceat(tfs, block_starts),
                     "payload": payloads,
+                    "pos_payload": pos_payloads,
                 }
             )
 

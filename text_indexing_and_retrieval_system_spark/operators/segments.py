@@ -136,48 +136,8 @@ def build_index(
 
     docs = ib.with_doc_ids(transcripts, convmap)
 
-    # ---------------- stage 1: tokenized segments (chunked) ----------------
-    seg_root = os.path.join(index_dir, "segments")
-    n_chunks = cfg.n_segment_chunks
-
-    def run_chunk(chunk: int) -> None:
-        unit = f"stage1_chunk_{chunk:03d}"
-        if man.done(unit):
-            return
-        t0 = time.time()
-        lo = chunk * n_convs // n_chunks
-        hi = (chunk + 1) * n_convs // n_chunks
-        part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
-        seg = ib.tokenize_to_doc_postings(part, cfg.normalize)
-        path = os.path.join(seg_root, f"chunk={chunk}")
-        seg.write.mode("overwrite").parquet(path)
-        man.record(
-            unit,
-            conv_range=[lo, hi],
-            rows=parquet_num_rows(path),
-            seconds=time.time() - t0,
-            **lineage,
-        )
-
-    if fail_after_chunk is not None:
-        # test hook path: strictly sequential so the crash point is exact
-        for chunk in range(n_chunks):
-            run_chunk(chunk)
-            if chunk == fail_after_chunk:
-                raise RuntimeError(f"simulated crash after stage1_chunk_{chunk:03d}")
-    else:
-        # chunks are independent writes — submit concurrently (Spark's
-        # scheduler interleaves the jobs; manifests still per-chunk, so
-        # resume granularity is unchanged)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(n_chunks, 4)) as pool:
-            list(pool.map(run_chunk, range(n_chunks)))
-
-    segments = spark.read.parquet(os.path.join(seg_root, "chunk=*"))
-
-    # doc-id range geometry — needed by stages 2/3/4 partitioning. Known
-    # from n_convs alone (no data pass).
+    # doc-id range geometry — needed by every later stage's partitioning.
+    # Known from n_convs alone (no data pass).
     max_doc = (n_convs << ib.TURN_BITS) + (1 << ib.TURN_BITS)
     range_shift = max(int(max_doc / max(cfg.n_range_buckets, 1)).bit_length(), ib.TURN_BITS)
     n_store_parts = max(cfg.n_range_buckets // 4, 1)
@@ -187,12 +147,117 @@ def build_index(
     # sampling pass over the child per write)
     store_part_col = F.shiftrightunsigned(F.col("doc_id_int"), range_shift + 2)
 
-    # ---------------- stage 4 (concurrent): doc store ----------------
-    # independent of stages 2-3 (projection of the input); submitted on a
-    # separate thread so its scan overlaps the doclen/postings jobs
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-
+    seg_root = os.path.join(index_dir, "segments")
+    doclen_path = os.path.join(index_dir, "doclen")
+    postings_path = os.path.join(index_dir, "postings")
+    lexicon_path = os.path.join(index_dir, "lexicon")
+    stats_path = os.path.join(index_dir, "stats.json")
     docs_path = os.path.join(index_dir, "docs")
+    n_chunks = cfg.n_segment_chunks
+
+    # ---------------- stages 1-3: per-chunk pipelines ----------------
+    # Chunks are contiguous conversation ranges, so their doc-id sets are
+    # disjoint: tokenize -> doclen -> pack+write postings runs per chunk
+    # with NO global barrier. Block packing no longer needs global avgdl
+    # (blocks carry (max_tf, min_dl); the impact bound folds in at read
+    # time — ib.impact_bound_col), which is what unlocks the pipeline:
+    # chunk i's pack/write (the one phase bounded by the write path, not
+    # cores) overlaps chunk i+1's CPU-bound tokenize instead of
+    # serializing behind all of stage 1. Per-(term, range_bucket) blocks
+    # from different chunks cover disjoint ordered doc ranges, so queries
+    # traverse them exactly like same-shuffle blocks.
+
+    def run_chunk(chunk: int) -> None:
+        chunk_seg = os.path.join(seg_root, f"chunk={chunk}")
+        unit1 = f"stage1_chunk_{chunk:03d}"
+        if not man.done(unit1):
+            t0 = time.time()
+            lo = chunk * n_convs // n_chunks
+            hi = (chunk + 1) * n_convs // n_chunks
+            part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
+            seg = ib.tokenize_to_doc_postings(part, cfg.normalize)
+            seg.write.mode("overwrite").parquet(chunk_seg)
+            man.record(
+                unit1,
+                conv_range=[lo, hi],
+                rows=parquet_num_rows(chunk_seg),
+                seconds=time.time() - t0,
+                **lineage,
+            )
+
+        unit2 = f"stage2_chunk_{chunk:03d}"
+        if not man.done(unit2):
+            t0 = time.time()
+            from pyspark.sql import Observation
+
+            seg_c = spark.read.parquet(chunk_seg)
+            doclen_c = (
+                seg_c.groupBy("doc_id_int")
+                .agg(F.first("dl").alias("dl"))
+                .withColumn("conv_int", F.shiftrightunsigned("doc_id_int", ib.TURN_BITS))
+                .withColumn(
+                    "turn_idx",
+                    (F.col("doc_id_int") - F.col("conv_int") * (1 << ib.TURN_BITS)).cast("int"),
+                )
+                .join(convmap, "conv_int")
+                .withColumn(
+                    "doc_id",
+                    # %04d pads but never truncates (see ib.with_doc_ids)
+                    F.concat_ws(":", F.col("conv_id"), F.format_string("%04d", "turn_idx")),
+                )
+                .select("doc_id_int", "doc_id", "dl")
+            )
+            # chunk stats ride along with the write via observe()
+            obs = Observation(f"doclen_stats_{chunk}")
+            (
+                doclen_c.repartition(n_store_parts, store_part_col)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_tokens"),
+                )
+                .sortWithinPartitions("doc_id_int")
+                .write.mode("overwrite")
+                .parquet(os.path.join(doclen_path, f"chunk={chunk}"))
+            )
+            agg = obs.get
+            man.record(
+                unit2,
+                n_docs=agg["n_docs"],
+                total_tokens=agg["total_tokens"],
+                seconds=time.time() - t0,
+                **lineage,
+            )
+
+        unit3 = f"stage3_chunk_{chunk:03d}"
+        if not man.done(unit3):
+            t0 = time.time()
+            # two shuffles by measurement: pack on (term, range_bucket) —
+            # fine-grained, skew-free partitions for the big sort+pack —
+            # then re-key the (much smaller) packed blocks to 4 aligned
+            # files per bucket dir (a single term-keyed shuffle writing
+            # directly was ~40% slower: the dynamic-partition writer
+            # re-sorts each task's payload rows by dir)
+            seg_c = spark.read.parquet(chunk_seg)
+            blocks = ib.build_blocks(seg_c, cfg, range_shift).withColumn(
+                "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
+            )
+            sub_col = term_bucket_col(F.col("term"), cfg.n_term_buckets * 4)
+            (
+                blocks.repartition(cfg.n_term_buckets * 4, sub_col)
+                .sortWithinPartitions("term", "first_doc")
+                .write.mode("overwrite")
+                # small row groups: files are term-sorted, so per-row-group
+                # min/max stats make a query's IN(terms) skip everything
+                # but the few groups holding its terms
+                .option("parquet.block.size", str(1 << 20))
+                .partitionBy("bucket")
+                .parquet(os.path.join(postings_path, f"chunk={chunk}"))
+            )
+            man.record(unit3, seconds=time.time() - t0, **lineage)
+
+    # ---------------- stage 4 (concurrent): doc store ----------------
+    from concurrent.futures import ThreadPoolExecutor
 
     def run_stage4() -> None:
         if man.done("stage4_docs"):
@@ -209,91 +274,48 @@ def build_index(
         )
         man.record("stage4_docs", seconds=time.time() - t0, **lineage)
 
-    stage4_pool = _TPE(max_workers=1)
-    stage4_future = stage4_pool.submit(run_stage4)
+    if fail_after_chunk is not None:
+        # test hook path: strictly sequential so the crash point is exact
+        # (stage4 deliberately not started — a crashed build must not
+        # leave a concurrent writer running)
+        for chunk in range(n_chunks):
+            run_chunk(chunk)
+            if chunk == fail_after_chunk:
+                raise RuntimeError(f"simulated crash after stage1_chunk_{chunk:03d}")
+        run_stage4()
+    else:
+        # chunk pipelines are independent — run them concurrently (the
+        # Spark scheduler interleaves the jobs; manifests stay per-unit,
+        # so resume granularity is unchanged); the doc store rides on its
+        # own thread and overlaps everything
+        with ThreadPoolExecutor(max_workers=min(n_chunks, 4) + 1) as pool:
+            stage4_future = pool.submit(run_stage4)
+            list(pool.map(run_chunk, range(n_chunks)))
+            stage4_future.result()
 
-    # ---------------- stage 2: doclen + stats ----------------
-    doclen_path = os.path.join(index_dir, "doclen")
-    stats_path = os.path.join(index_dir, "stats.json")
-    if not man.done("stage2_doclen"):
-        t0 = time.time()
-        doclen = (
-            segments.groupBy("doc_id_int")
-            .agg(F.first("dl").alias("dl"))
-            .withColumn("conv_int", F.shiftrightunsigned("doc_id_int", ib.TURN_BITS))
-            .withColumn(
-                "turn_idx",
-                (F.col("doc_id_int") - F.col("conv_int") * (1 << ib.TURN_BITS)).cast("int"),
-            )
-            .join(convmap, "conv_int")
-            .withColumn(
-                "doc_id",
-                # %04d pads but never truncates (see ib.with_doc_ids)
-                F.concat_ws(":", F.col("conv_id"), F.format_string("%04d", "turn_idx")),
-            )
-            .select("doc_id_int", "doc_id", "dl")
-        )
-        # collection stats ride along with the write job via observe()
-        # (exactly-once metrics, no second aggregation job)
-        from pyspark.sql import Observation
+    # ---------------- stats fold + global lexicon ----------------
+    n_docs = 0
+    total_tokens = 0
+    for chunk in range(n_chunks):
+        info = man.read(f"stage2_chunk_{chunk:03d}")
+        n_docs += info["n_docs"] or 0
+        total_tokens += info["total_tokens"] or 0  # None on an empty chunk
+    stats = {
+        "n_docs": n_docs,
+        # exact-int sum / exact-int count: bit-identical to a global avg
+        "avgdl": total_tokens / n_docs if n_docs else 0.0,
+        "total_tokens": total_tokens,
+        "n_convs": n_convs,
+    }
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=2)
 
-        obs = Observation("doclen_stats")
-        (
-            doclen.repartition(n_store_parts, store_part_col)
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg("dl").alias("avgdl"),
-                F.sum("dl").alias("total_tokens"),
-            )
-            .sortWithinPartitions("doc_id_int")
-            .write.mode("overwrite")
-            .parquet(doclen_path)
-        )
-        agg = obs.get
-        stats = {
-            "n_docs": agg["n_docs"],
-            "avgdl": float(agg["avgdl"]),
-            "total_tokens": agg["total_tokens"],
-            "n_convs": n_convs,
-        }
-        with open(stats_path, "w") as f:
-            json.dump(stats, f, indent=2)
-        man.record("stage2_doclen", seconds=time.time() - t0, **stats, **lineage)
-
-    with open(stats_path) as f:
-        stats = json.load(f)
-
-    # ---------------- stage 3: postings blocks + lexicon ----------------
-    postings_path = os.path.join(index_dir, "postings")
-    lexicon_path = os.path.join(index_dir, "lexicon")
     if not man.done("stage3_postings"):
         t0 = time.time()
-        # two shuffles by measurement: pack on (term, range_bucket) —
-        # fine-grained, skew-free partitions for the big sort+pack — then
-        # re-key the (much smaller) packed blocks to 4 aligned files per
-        # bucket dir. A single term-keyed shuffle writing directly was
-        # ~40% slower at low core counts (the dynamic-partition writer
-        # re-sorts each task's payload rows by dir).
-        blocks = ib.build_blocks(segments, stats["avgdl"], cfg, range_shift).withColumn(
-            "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
-        )
-        sub_col = term_bucket_col(F.col("term"), cfg.n_term_buckets * 4)
-        (
-            blocks.repartition(cfg.n_term_buckets * 4, sub_col)
-            .sortWithinPartitions("term", "first_doc")
-            .write.mode("overwrite")
-            # small row groups: files are term-sorted, so per-row-group
-            # min/max stats make a query's isin(terms) skip everything
-            # but the few groups holding its terms
-            .option("parquet.block.size", str(1 << 20))
-            .partitionBy("bucket")
-            .parquet(postings_path)
-        )
         # lexicon from the written (columnar, payload-pruned) postings —
         # cheaper than persisting the block payloads in memory
         blocks_r = spark.read.parquet(postings_path).select(
-            "term", "n", "sum_tf", "block_max_impact"
+            "term", "n", "sum_tf", "max_tf", "min_dl"
         )
         n = stats["n_docs"]
         lex = (
@@ -301,7 +323,7 @@ def build_index(
             .agg(
                 F.sum("n").alias("df"),
                 F.sum("sum_tf").alias("cf"),
-                F.max("block_max_impact").alias("max_impact"),
+                F.max(ib.impact_bound_col(stats["avgdl"])).alias("max_impact"),
                 F.count("*").alias("n_blocks"),
             )
             # Lucene/ES BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))
@@ -321,18 +343,13 @@ def build_index(
             .write.mode("overwrite")
             .parquet(lexicon_path)
         )
-        n_terms = parquet_num_rows(lexicon_path)
         man.record(
             "stage3_postings",
-            n_terms=n_terms,
+            n_terms=parquet_num_rows(lexicon_path),
             range_shift=range_shift,
             seconds=time.time() - t0,
             **lineage,
         )
-
-    # ---------------- join the concurrent doc-store write ----------------
-    stage4_future.result()
-    stage4_pool.shutdown()
 
     man.record(
         "build",

@@ -45,10 +45,82 @@ TOPK_SCHEMA = "doc_id_int long, score double"
 KERNEL_SHUFFLE_PARTITIONS = 64
 
 
-def _bucket_grouped(blocks: DataFrame):
-    return blocks.repartition(KERNEL_SHUFFLE_PARTITIONS, "range_bucket").groupBy(
-        "range_bucket"
+KERNEL_COLS = ["term", "range_bucket", "first_doc", "last_doc", "block_max_impact", "payload"]
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32, matching Spark's `hash()` /
+    HashPartitioning for integer keys (same seed 42) — lets the driver
+    predict which shuffle partition a bucket id lands on without a job."""
+    m = 0xFFFFFFFF
+    k = (x & m) * 0xCC9E2D51 & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = (k * 0x1B873593) & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h  # int32
+
+
+def _slot_values(n_parts: int) -> list[int]:
+    """For each partition index p in [0, n_parts): an int v with
+    murmur3(v) % n_parts == p. Remapping bucket b to value v_b makes
+    Spark's HashPartitioning place every bucket on its OWN partition —
+    n_parts tasks, all non-empty, no hash-collision stragglers and no
+    empty partitions each paying the UDF-closure ship + unpickle."""
+    out: dict[int, int] = {}
+    v = 0
+    while len(out) < n_parts:
+        p = _murmur3_int32(v) % n_parts
+        if p not in out:
+            out[p] = v
+        v += 1
+    return [out[p] for p in range(n_parts)]
+
+
+def _bucket_grouped(blocks: DataFrame, n_buckets: int | None = None):
+    # slim the kernel shuffle to the columns the kernels read (drops the
+    # partition/bucket/stats columns; pos_payload rides along only when
+    # the caller selected it for a phrase tree)
+    cols = KERNEL_COLS + (["pos_payload"] if "pos_payload" in blocks.columns else [])
+    slim = blocks.select(*cols)
+    if not n_buckets:
+        return slim.repartition(KERNEL_SHUFFLE_PARTITIONS, "range_bucket").groupBy(
+            "range_bucket"
+        )
+    slotted, n_parts = _with_slot(slim, n_buckets)
+    return slotted.repartition(n_parts, "__slot").groupBy("__slot")
+
+
+def _with_slot(df: DataFrame, n_buckets: int):
+    """Attach the partition-placement slot column (see _slot_values).
+    Buckets outside [0, n_buckets) map to null — they share one group,
+    which is still EXACT: a group holding several buckets' blocks scores
+    like one bigger bucket (doc sets are disjoint), so placement only
+    ever affects performance, never results."""
+    n_parts = n_buckets
+    vals = _slot_values(n_parts)
+    mapping = F.create_map(
+        *[F.lit(x) for b in range(n_parts) for x in (b, vals[b])]
     )
+    return df.withColumn("__slot", mapping[F.col("range_bucket")]), n_parts
+
+
+def _dl_grouped(dl_b: DataFrame, n_buckets: int | None = None):
+    """Doclen side of the NOT-universe cogroup, slotted with the SAME
+    mapping as the blocks side so matching buckets land together."""
+    if not n_buckets:
+        return dl_b.repartition(KERNEL_SHUFFLE_PARTITIONS, "range_bucket").groupBy(
+            "range_bucket"
+        )
+    slotted, n_parts = _with_slot(dl_b, n_buckets)
+    return slotted.repartition(n_parts, "__slot").groupBy("__slot")
 
 
 def _empty_topk() -> pd.DataFrame:
@@ -288,6 +360,7 @@ def topk_disjunctive(
     query_key: str | None = None,
     acc_total=None,
     acc_decoded=None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """blocks(term, range_bucket, first_doc, payload, ...) filtered to the
     query terms → global (doc_id_int, score) top-k candidates.
@@ -322,21 +395,38 @@ def topk_disjunctive(
             acc_decoded.add(n_decoded)
         return out
 
-    return _bucket_grouped(blocks).applyInPandas(run, schema=TOPK_SCHEMA)
+    return _bucket_grouped(blocks, n_buckets).applyInPandas(run, schema=TOPK_SCHEMA)
 
 
 BATCH_TOPK_SCHEMA = "query_id int, doc_id_int long, score double"
 
 
 def _decode_terms(pdf: pd.DataFrame, avgdl: float):
+    """All of a bucket's blocks -> {term: (sorted doc ids, impacts)} in
+    ONE vectorized codec pass (codec.unpack_postings_batch) + one
+    vectorized BM25-impact computation over every row — replaces the
+    per-block decode loop (~90us/block of numpy setup overhead, which
+    dominated the batch kernel at 300k+ blocks per query batch)."""
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for term, grp in pdf.groupby("term", sort=False):
-        docs_parts, imp_parts = [], []
-        for payload in grp.sort_values("first_doc")["payload"]:
-            d, imp = _decode_block(bytes(payload), avgdl)
-            docs_parts.append(d)
-            imp_parts.append(imp)
-        per_term[term] = (np.concatenate(docs_parts), np.concatenate(imp_parts))
+    if not len(pdf):
+        return per_term
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    block_n, docs, tfs, dls = codec.unpack_postings_batch(pdf["payload"].to_list())
+    tf_f = tfs.astype(np.float64)
+    imp = (
+        tf_f
+        * (K1 + 1.0)
+        / (tf_f + K1 * ((1.0 - B) + (B * dls.astype(np.float64)) / avgdl))
+    )
+    terms = pdf["term"].to_numpy()
+    block_row_ends = np.cumsum(block_n)
+    block_row_starts = block_row_ends - block_n
+    term_first_block = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
+    bounds = np.r_[term_first_block, len(terms)]
+    for i in range(len(term_first_block)):
+        b0, b1 = bounds[i], bounds[i + 1]
+        r0, r1 = block_row_starts[b0], block_row_ends[b1 - 1]
+        per_term[terms[b0]] = (docs[r0:r1], imp[r0:r1])
     return per_term
 
 
@@ -345,6 +435,7 @@ def topk_disjunctive_batch(
     queries_meta: dict[int, dict[str, list[tuple[int, float]]]],
     avgdl: float,
     k: int,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Many queries in ONE distributed pass (the reference runs its whole
     200-query benchmark sequentially, `performance_metrics.py:521-559`;
@@ -353,16 +444,35 @@ def topk_disjunctive_batch(
 
     Returns (query_id, doc_id_int, score) — per-bucket local top-k per
     query; caller does the tiny global merge.
+
+    `queries_meta` may be a plain dict or a pyspark Broadcast of one.
+    Pass a Broadcast for big batches: a plain dict is pickled into the
+    UDF closure and re-deserialized by EVERY task, while a broadcast
+    value is fetched and cached once per executor worker process
+    (measured ~0.2 s/task at 8k queries — a pseudo-constant that grew
+    with batch size).
     """
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qmetas = (
+            queries_meta.value if hasattr(queries_meta, "value") else queries_meta
+        )
+        empty = pd.DataFrame({"query_id": [], "doc_id_int": [], "score": []}).astype(
+            {"query_id": "int32", "doc_id_int": "int64", "score": "float64"}
+        )
         if pdf.empty:
-            return pd.DataFrame(
-                {"query_id": [], "doc_id_int": [], "score": []}
-            ).astype({"query_id": "int32", "doc_id_int": "int64", "score": "float64"})
+            return empty
         per_term = _decode_terms(pdf, avgdl)
-        frames = []
-        for qid, term_meta in queries_meta.items():
+        # numpy accumulation + ONE output frame: a pandas DataFrame per
+        # query + concat measured ~1s/bucket of pure allocator overhead
+        # at 1024 queries. (A bucket-level dense-score-buffer variant
+        # with per-term index maps was tried and measured 1.6x SLOWER —
+        # scattered writes into a bucket-wide float buffer lose to the
+        # per-query contiguous unique+searchsorted arrays.)
+        qid_parts: list[np.ndarray] = []
+        doc_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        for qid, term_meta in qmetas.items():
             items = sorted(
                 (idx, t, idf)
                 for t in per_term
@@ -384,22 +494,20 @@ def topk_disjunctive_batch(
                 sel = cand[order]
             else:
                 sel = np.lexsort((q_docs, -scores))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.int32(qid),
-                        "doc_id_int": q_docs[sel],
-                        "score": scores[sel],
-                    }
-                )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {"query_id": [], "doc_id_int": [], "score": []}
-            ).astype({"query_id": "int32", "doc_id_int": "int64", "score": "float64"})
-        return pd.concat(frames, ignore_index=True)
+            qid_parts.append(np.full(sel.size, qid, dtype=np.int32))
+            doc_parts.append(q_docs[sel])
+            score_parts.append(scores[sel])
+        if not qid_parts:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qid_parts),
+                "doc_id_int": np.concatenate(doc_parts),
+                "score": np.concatenate(score_parts),
+            }
+        )
 
-    return _bucket_grouped(blocks).applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
+    return _bucket_grouped(blocks, n_buckets).applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -474,17 +582,18 @@ def _eval_tree(tree, term_docs, universe, phrase_eval):
 
 def _phrase_eval_factory(pdf: pd.DataFrame, words: tuple[str, ...]):
     """Positional adjacency inside one bucket: decode the phrase words'
-    blocks WITH positions, intersect doc lists, then per common doc keep
-    start positions p with p+i present in word i's positions."""
+    blocks WITH positions (from the separate pos_payload column),
+    intersect doc lists, then keep start positions p with p+i present in
+    word i's positions."""
     per_word: dict[str, tuple[np.ndarray, list]] = {}
     for term, grp in pdf.groupby("term", sort=False):
         if term not in words:
             continue
         docs_parts, pos_parts = [], []
-        for payload in grp.sort_values("first_doc")["payload"]:
-            d, _tf, _dl, pos = codec.unpack_postings(bytes(payload), with_positions=True)
+        for row in grp.sort_values("first_doc").itertuples(index=False):
+            d, _tf, _dl, _ = codec.unpack_postings(bytes(row.payload))
             docs_parts.append(d)
-            pos_parts.extend(pos)
+            pos_parts.extend(codec.unpack_positions(bytes(row.pos_payload), len(d)))
         per_word[term] = (np.concatenate(docs_parts), pos_parts)
 
     def enc_positions(w: str, common: np.ndarray) -> np.ndarray:
@@ -564,6 +673,7 @@ def boolean_topk(
     k: int,
     doclen: DataFrame | None = None,
     range_shift: int | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Arbitrary boolean/phrase query + BM25 ranking in ONE kernel pass —
     the interactive successor of the DataFrame join plan (same results,
@@ -601,19 +711,15 @@ def boolean_topk(
             return run_one(blocks_pdf, universe)
 
         return (
-            _bucket_grouped(blocks)
-            .cogroup(
-                dl_b.repartition(KERNEL_SHUFFLE_PARTITIONS, "range_bucket").groupBy(
-                    "range_bucket"
-                )
-            )
+            _bucket_grouped(blocks, n_buckets)
+            .cogroup(_dl_grouped(dl_b, n_buckets))
             .applyInPandas(run_co, schema=TOPK_SCHEMA)
         )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return run_one(pdf, None)
 
-    return _bucket_grouped(blocks).applyInPandas(run, schema=TOPK_SCHEMA)
+    return _bucket_grouped(blocks, n_buckets).applyInPandas(run, schema=TOPK_SCHEMA)
 
 
 def merge_query_topk_driver(

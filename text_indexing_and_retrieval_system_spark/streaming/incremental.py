@@ -239,7 +239,7 @@ def refresh_postings(
     range_shift = max(
         int(max_doc / max(cfg.n_range_buckets, 1)).bit_length(), ib.TURN_BITS
     )
-    blocks = ib.build_blocks(seg, stats["avgdl"], cfg, range_shift).withColumn(
+    blocks = ib.build_blocks(seg, cfg, range_shift).withColumn(
         "bucket", term_bucket_col(F.col("term"), cfg.n_term_buckets)
     )
     provider.write_staged(
@@ -257,7 +257,7 @@ def refresh_postings(
         .agg(
             F.sum("n").alias("df"),
             F.sum("sum_tf").alias("cf"),
-            F.max("block_max_impact").alias("max_impact"),
+            F.max(ib.impact_bound_col(stats["avgdl"])).alias("max_impact"),
             F.count("*").alias("n_blocks"),
         )
         .withColumn(
