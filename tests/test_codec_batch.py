@@ -75,3 +75,45 @@ def test_batch_equals_per_block(blocks, with_pos):
             decoded = codec.unpack_positions(pos_bytes, e - s)
             for want_row, got_row in zip(pos_rows[s:e], decoded):
                 assert list(want_row) == list(got_row)
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 40)),  # bucket base
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=(1 << 31) - 1),  # local doc
+                st.integers(min_value=1, max_value=40),
+                st.integers(min_value=1, max_value=70000),
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_local32_mode(base, blocks):
+    """local32 mode (first_docs + base) must reproduce the global decode
+    exactly, as int32 offsets — including >=2^28 gaps (5-byte varints)
+    whose top bits exercise the uint32 shift edge."""
+    doc_ids, tfs, dls, starts, first_docs = [], [], [], [], []
+    for blk in blocks:
+        blk = sorted(blk)
+        starts.append(len(doc_ids))
+        first_docs.append(base + blk[0][0])
+        for d, tf, dl in blk:
+            doc_ids.append(base + d)
+            tfs.append(tf)
+            dls.append(dl)
+    doc_ids, tfs, dls = np.array(doc_ids), np.array(tfs), np.array(dls)
+    payloads = codec.pack_postings_batch(doc_ids, tfs, dls, np.array(starts), None)
+    bn, d_loc, t_loc, l_loc = codec.unpack_postings_batch(
+        payloads, first_docs=np.array(first_docs, dtype=np.int64), base=base
+    )
+    assert d_loc.dtype == np.int32 and t_loc.dtype == np.int32
+    assert list(d_loc.astype(np.int64) + base) == list(doc_ids)
+    assert list(t_loc) == list(tfs)
+    assert list(l_loc) == list(dls)

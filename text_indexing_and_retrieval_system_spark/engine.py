@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 
 import pandas as pd
@@ -36,7 +37,7 @@ from .functions.normalize import NormalizeConfig, normalize_query_terms
 from .operators import query_parser as qp
 from .operators import ranking, wand
 from .operators.boolean import BooleanPlanner
-from .operators.index_build import IndexBuildConfig
+from .operators.index_build import TURN_BITS, IndexBuildConfig
 from .operators.segments import Manifests, build_index, term_bucket_py
 
 POSTINGS_SCHEMA = "term string, doc_id_int long, tf int, dl int, positions array<int>"
@@ -122,16 +123,24 @@ class InvertedIndex:
         cfg = (build_info or {}).get("config", {})
         self.n_term_buckets = cfg.get("n_term_buckets", 16)
         self.n_range_buckets = cfg.get("n_range_buckets", 32)
-        # kernel tasks: one shuffle partition per range bucket via the
-        # slot mapping (wand._with_slot) — no collision stragglers, no
-        # empty partitions. +1 covers the geometry's edge bucket.
-        self.kernel_buckets = self.n_range_buckets + 1
         self.range_shift = None  # doc-id range bucketing of the postings
         for unit in ("refresh_postings", "stage3_postings"):
             info = man.read(unit)
             if info and info.get("range_shift") is not None:
                 self.range_shift = int(info["range_shift"])
                 break
+        # kernel tasks: one shuffle partition per ACTUAL range bucket via
+        # the slot mapping (wand._with_slot) — no collision stragglers,
+        # no empty partitions paying closure ship + unpickle. The bucket
+        # count follows from the doc-id geometry (shift is chosen from
+        # n_convs, so the realized count can be below n_range_buckets);
+        # +1 covers the edge bucket.
+        if self.range_shift is not None:
+            n_convs = int(self.stats.get("n_convs") or 0)
+            max_doc = (n_convs << TURN_BITS) + (1 << TURN_BITS)
+            self.kernel_buckets = (max_doc >> self.range_shift) + 1
+        else:
+            self.kernel_buckets = self.n_range_buckets + 1
         norm = cfg.get("normalize", {})
         if norm:
             norm = dict(norm)
@@ -625,7 +634,14 @@ class InvertedIndex:
         # size); as a broadcast it's fetched once per worker process
         bc_metas = self.spark.sparkContext.broadcast(metas)
         local = wand.topk_disjunctive_batch(
-            blocks, bc_metas, self.stats["avgdl"], k, n_buckets=self.kernel_buckets
+            blocks,
+            bc_metas,
+            self.stats["avgdl"],
+            k,
+            n_buckets=self.kernel_buckets,
+            # unique per batch: worker-process theta stores never leak
+            # across batches (or index generations)
+            batch_key=uuid.uuid4().hex,
         )
         mark("plan")
         # merge the per-(query, bucket) winners to per-query top-k:

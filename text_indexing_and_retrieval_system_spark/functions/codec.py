@@ -69,22 +69,35 @@ def varbyte_encode(numbers: np.ndarray) -> bytes:
     return varbyte_encode_with_sizes(numbers)[0]
 
 
-def varbyte_decode(stream: bytes) -> np.ndarray:
-    """Inverse of :func:`varbyte_encode`; returns int64 array."""
-    b = np.frombuffer(stream, dtype=np.uint8)
+def _varbyte_decode_raw(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint8 array -> (int64 values, int32 byte index of each value's
+    stop byte). int32 index arrays halve the memory traffic of the
+    gather loop — this decode is the measured hot spot of the batch
+    query kernel (~60% of its python core-seconds), and it is memory-
+    bandwidth-bound, so byte traffic is wall time."""
     if b.size == 0:
-        return np.empty(0, dtype=np.int64)
-    ends = np.flatnonzero(b & 128)
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=np.int32)
+    ends = np.flatnonzero(b & 128).astype(np.int32)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    vals = np.zeros(ends.size, dtype=np.uint64)
-    payload = b & np.uint8(127)
-    for k in range(int(lengths.max())):
-        mask = lengths > k
-        vals[mask] |= payload[starts[mask] + k].astype(np.uint64) << np.uint64(7 * k)
-    return vals.astype(np.int64)
+    lengths = ends - starts
+    vals = (b[starts] & np.uint8(127)).astype(np.uint64)
+    # continuation bytes only for multi-byte ints (gaps/tf/dl are mostly
+    # 1 byte; the mask shrinks fast) — mask the 7-bit payload on the
+    # gathered slice instead of materializing a full (b & 127) copy
+    for k in range(1, int(lengths.max(initial=0)) + 1):
+        mask = lengths >= k
+        vals[mask] |= (b[starts[mask] + k] & np.uint8(127)).astype(
+            np.uint64
+        ) << np.uint64(7 * k)
+    return vals.astype(np.int64), ends
+
+
+def varbyte_decode(stream: bytes) -> np.ndarray:
+    """Inverse of :func:`varbyte_encode`; returns int64 array."""
+    return _varbyte_decode_raw(np.frombuffer(stream, dtype=np.uint8))[0]
 
 
 def encode_sorted(numbers: np.ndarray) -> bytes:
@@ -228,7 +241,36 @@ def pack_postings_batch(
     return [bytes(mv[int(s) : int(e)]) for s, e in zip(blk_byte_start, blk_byte_end)]
 
 
-def unpack_postings_batch(payloads) -> tuple[np.ndarray, ...]:
+def _varbyte_decode_raw_u32(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint32 variant of :func:`_varbyte_decode_raw` for streams whose
+    NON-FIRST-doc values all fit 31 bits (the caller certifies this and
+    patches first-doc entries from a side column). Values wider than 32
+    bits decode to garbage in their low bits — by the precondition only
+    first-doc absolutes can be that wide, and the caller overwrites
+    them. Halves the bandwidth of the decode loop and every downstream
+    gather — this path is memory-bandwidth-bound."""
+    ends = np.flatnonzero(b & 128).astype(np.int32)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts
+    vals = (b[starts] & np.uint8(127)).astype(np.uint32)
+    for k in range(1, int(lengths.max(initial=0)) + 1):
+        if 7 * k >= 32:
+            # a uint32 shift by >=32 is undefined in C; bytes at k>=5
+            # only carry bits >=35, which a <2^31 value never sets —
+            # wider entries are first-doc absolutes, patched below
+            break
+        mask = lengths >= k
+        vals[mask] |= (b[starts[mask] + k] & np.uint8(127)).astype(
+            np.uint32
+        ) << np.uint32(7 * k)
+    return vals, ends
+
+
+def unpack_postings_batch(
+    payloads, first_docs: np.ndarray | None = None, base: int = 0
+) -> tuple[np.ndarray, ...]:
     """Decode MANY core-payload blocks in one vectorized pass.
 
     `payloads` is a sequence of CORE payloads (no positions section:
@@ -236,6 +278,15 @@ def unpack_postings_batch(payloads) -> tuple[np.ndarray, ...]:
     Returns (block_n, doc_ids, tfs, dls): `block_n[b]` rows per block,
     and the per-row arrays concatenated in block order (doc ids already
     gap-decoded with per-block reset).
+
+    Default mode returns int64 global doc ids. When `first_docs` (the
+    per-block first absolute doc id, aligned with `payloads`) is given,
+    the decode runs in uint32 internally and returns **int32 doc ids
+    relative to `base`** plus int32 tfs/dls — the caller must certify
+    max(last_doc) - base < 2^31 (true for one doc-range bucket). The
+    wide first-doc varints are never decoded; their gap entries are
+    patched from `first_docs`. ~40% less memory traffic, which is wall
+    time in the bandwidth-bound batch query kernel.
 
     Equivalent to calling :func:`unpack_postings` per block but ~10x
     faster: one varbyte pass over the concatenated byte stream + index
@@ -248,30 +299,49 @@ def unpack_postings_batch(payloads) -> tuple[np.ndarray, ...]:
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n_blocks)
     stream = b"".join(bytes(p) for p in payloads)
     b = np.frombuffer(stream, dtype=np.uint8)
-    S = varbyte_decode(stream)
-    # map block byte starts -> int indices (ints end at stop-bit bytes)
-    int_end_bytes = np.flatnonzero(b & 128)
+    # one stop-bit scan shared by value decode and block-boundary mapping
+    # (ints end at stop-bit bytes); int32 index arrays throughout — the
+    # whole routine is memory-bandwidth-bound
+    local32 = first_docs is not None
+    if local32:
+        S, int_end_bytes = _varbyte_decode_raw_u32(b)
+    else:
+        S, int_end_bytes = _varbyte_decode_raw(b)
     byte_starts = np.cumsum(lens) - lens
-    int_start = np.searchsorted(int_end_bytes, byte_starts)
-    block_n = S[int_start]
+    int_start = np.searchsorted(int_end_bytes, byte_starts).astype(np.int32)
+    block_n = S[int_start].astype(np.int64)
     total_rows = int(block_n.sum())
     if total_rows == 0:
         z = np.empty(0, dtype=np.int64)
         return block_n, z, z, z
-    row_block = np.repeat(np.arange(n_blocks), block_n)
-    row_starts = np.cumsum(block_n) - block_n
-    rel = np.arange(total_rows) - row_starts[row_block]
-    idx = int_start[row_block] + 1 + rel
-    gaps = S[idx]
-    nbr = block_n[row_block]
-    tfs = S[idx + nbr]
-    dls = S[idx + 2 * nbr]
+    block_n32 = block_n.astype(np.int32)
+    row_block = np.repeat(np.arange(n_blocks, dtype=np.int32), block_n32)
+    row_starts = np.cumsum(block_n32, dtype=np.int32) - block_n32
+    rel = np.arange(total_rows, dtype=np.int32) - row_starts[row_block]
+    idx = int_start[row_block] + np.int32(1) + rel
+    nbr = block_n32[row_block]
+    if local32:
+        gaps = S[idx].astype(np.int32)
+        # first gap of each block = the (possibly mangled) absolute first
+        # doc id: overwrite with the base-relative offset from the column
+        gaps[row_starts] = (
+            np.asarray(first_docs, dtype=np.int64) - np.int64(base)
+        ).astype(np.int32)
+        tfs = S[idx + nbr].view(np.int32)
+        dls = S[idx + 2 * nbr].view(np.int32)
+        tot = np.cumsum(gaps, dtype=np.int64)
+    else:
+        gaps = S[idx]
+        tfs = S[idx + nbr]
+        dls = S[idx + 2 * nbr]
+        tot = np.cumsum(gaps)
     # gap decode with per-block reset: cumsum, then subtract the running
     # total carried in from previous blocks
-    tot = np.cumsum(gaps)
     carry = np.zeros(n_blocks, dtype=np.int64)
     carry[1:] = tot[row_starts[1:] - 1]
     doc_ids = tot - carry[row_block]
+    if local32:
+        doc_ids = doc_ids.astype(np.int32)
     return block_n, doc_ids, tfs, dls
 
 

@@ -379,16 +379,25 @@ def topk_disjunctive(
     """
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seed = _THETA_SEEDS.get(query_key, -np.inf) if query_key else -np.inf
+        # resolve the LIVE module's seed store: a bare global reference
+        # would be re-pickled by value into every task's deserialized
+        # closure (fresh dict each task — no cross-task state at all);
+        # importing inside the UDF hits the worker process's real module
+        # singleton, which persists across tasks and jobs under
+        # spark.python.worker.reuse
+        from text_indexing_and_retrieval_system_spark.operators import (
+            wand as _w,
+        )
+
+        seeds = _w._THETA_SEEDS
+        seed = seeds.get(query_key, -np.inf) if query_key else -np.inf
         out, n_total, n_decoded = score_bucket_pruned(
             pdf, term_meta, avgdl, k, theta_seed=seed
         )
         if query_key and len(out) >= k:
             kth = float(out["score"].iloc[k - 1])
-            if len(_THETA_SEEDS) < _THETA_SEEDS_MAX or query_key in _THETA_SEEDS:
-                _THETA_SEEDS[query_key] = max(
-                    _THETA_SEEDS.get(query_key, -np.inf), kth
-                )
+            if len(seeds) < _THETA_SEEDS_MAX or query_key in seeds:
+                seeds[query_key] = max(seeds.get(query_key, -np.inf), kth)
         if acc_total is not None:
             acc_total.add(n_total)
         if acc_decoded is not None:
@@ -398,20 +407,53 @@ def topk_disjunctive(
     return _bucket_grouped(blocks, n_buckets).applyInPandas(run, schema=TOPK_SCHEMA)
 
 
-BATCH_TOPK_SCHEMA = "query_id int, doc_id_int long, score double"
+# packed winner rows: ONE row per (query, bucket) with the winners as
+# raw int64/float64 arrays. At 1k+ queries x dozens of buckets the
+# row-per-winner format put ~1M rows through Arrow serialization, the
+# driver collect, and the merge lexsort input conversion — a corpus-
+# independent tail at every parallelism level; packed it is ~25k rows
+# for the same bytes and the merge unpacks with zero-copy frombuffer.
+BATCH_TOPK_SCHEMA = "query_id int, doc_ids binary, scores binary"
 
 
-def _decode_terms(pdf: pd.DataFrame, avgdl: float):
+def _unpack_winner_rows(lpdf: pd.DataFrame) -> tuple[np.ndarray, ...]:
+    """Packed winner rows -> flat (qids, docs, scores) numpy arrays."""
+    counts = lpdf["doc_ids"].map(len).to_numpy(dtype=np.int64) // 8
+    qids = np.repeat(lpdf["query_id"].to_numpy(dtype=np.int64), counts)
+    docs = np.frombuffer(b"".join(lpdf["doc_ids"]), dtype=np.int64)
+    scores = np.frombuffer(b"".join(lpdf["scores"]), dtype=np.float64)
+    return qids, docs, scores
+
+
+def _decode_terms(pdf: pd.DataFrame, avgdl: float, local: bool = False):
     """All of a bucket's blocks -> {term: (sorted doc ids, impacts)} in
     ONE vectorized codec pass (codec.unpack_postings_batch) + one
     vectorized BM25-impact computation over every row — replaces the
     per-block decode loop (~90us/block of numpy setup overhead, which
-    dominated the batch kernel at 300k+ blocks per query batch)."""
+    dominated the batch kernel at 300k+ blocks per query batch).
+
+    With `local=True` returns (per_term, base) where doc ids are int32
+    offsets from `base` — valid whenever the group's doc span fits 31
+    bits (one range bucket always does; the merged overflow-slot group
+    may not, and falls back to global int64 with base=0). The batch
+    scoring path runs entirely in the int32 space: ~half the memory
+    traffic on a kernel that is bandwidth-bound, identical scores."""
+    want_local = local
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if not len(pdf):
-        return per_term
+        return (per_term, 0) if want_local else per_term
     pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
-    block_n, docs, tfs, dls = codec.unpack_postings_batch(pdf["payload"].to_list())
+    base = 0
+    first_docs = None
+    if local:
+        base = int(pdf["first_doc"].min())
+        if int(pdf["last_doc"].max()) - base < (1 << 31):
+            first_docs = pdf["first_doc"].to_numpy(dtype=np.int64)
+        else:
+            base = 0  # span too wide (merged overflow group): global mode
+    block_n, docs, tfs, dls = codec.unpack_postings_batch(
+        pdf["payload"].to_list(), first_docs=first_docs, base=base
+    )
     tf_f = tfs.astype(np.float64)
     imp = (
         tf_f
@@ -427,7 +469,17 @@ def _decode_terms(pdf: pd.DataFrame, avgdl: float):
         b0, b1 = bounds[i], bounds[i + 1]
         r0, r1 = block_row_starts[b0], block_row_ends[b1 - 1]
         per_term[terms[b0]] = (docs[r0:r1], imp[r0:r1])
-    return per_term
+    return (per_term, base) if want_local else per_term
+
+
+# process-local per-batch theta store: {batch_key: {qid: kth-best score
+# seen so far}}. Buckets hold DISJOINT doc-id ranges, so the kth-best
+# score within any already-scored bucket is a lower bound on the global
+# kth-best — later buckets in the same worker process can drop emission
+# rows below it without affecting the merged top-k (same certified-seed
+# argument as _THETA_SEEDS on the wand path). Only the CURRENT batch's
+# thetas are kept (replaced when a new batch_key arrives).
+_BATCH_THETA: dict[str, dict[int, float]] = {}
 
 
 def topk_disjunctive_batch(
@@ -436,6 +488,7 @@ def topk_disjunctive_batch(
     avgdl: float,
     k: int,
     n_buckets: int | None = None,
+    batch_key: str | None = None,
 ) -> DataFrame:
     """Many queries in ONE distributed pass (the reference runs its whole
     200-query benchmark sequentially, `performance_metrics.py:521-559`;
@@ -457,21 +510,41 @@ def topk_disjunctive_batch(
         qmetas = (
             queries_meta.value if hasattr(queries_meta, "value") else queries_meta
         )
-        empty = pd.DataFrame({"query_id": [], "doc_id_int": [], "score": []}).astype(
-            {"query_id": "int32", "doc_id_int": "int64", "score": "float64"}
+        empty = pd.DataFrame({"query_id": [], "doc_ids": [], "scores": []}).astype(
+            {"query_id": "int32", "doc_ids": "object", "scores": "object"}
         )
         if pdf.empty:
             return empty
-        per_term = _decode_terms(pdf, avgdl)
+        # per-batch emission thetas shared across this worker process's
+        # buckets (see _BATCH_THETA): the first bucket a worker scores
+        # emits its full local top-k; later buckets drop rows strictly
+        # below the best kth score seen — the merged global top-k is
+        # bit-identical, with ~60% fewer winner rows through Arrow,
+        # collect, and the driver merge (a corpus-independent tail)
+        thetas: dict[int, tuple[float, int]] = {}
+        if batch_key is not None:
+            # live-module store (see topk_disjunctive.run): a bare global
+            # would be a per-task copy and never share state
+            from text_indexing_and_retrieval_system_spark.operators import (
+                wand as _w,
+            )
+
+            if batch_key not in _w._BATCH_THETA:
+                _w._BATCH_THETA.clear()
+                _w._BATCH_THETA[batch_key] = {}
+            thetas = _w._BATCH_THETA[batch_key]
+        # int32 bucket-local doc space (see _decode_terms): scoring is
+        # bandwidth-bound, so halving the doc-array traffic is wall time
+        per_term, doc_base = _decode_terms(pdf, avgdl, local=True)
         # numpy accumulation + ONE output frame: a pandas DataFrame per
         # query + concat measured ~1s/bucket of pure allocator overhead
         # at 1024 queries. (A bucket-level dense-score-buffer variant
         # with per-term index maps was tried and measured 1.6x SLOWER —
         # scattered writes into a bucket-wide float buffer lose to the
         # per-query contiguous unique+searchsorted arrays.)
-        qid_parts: list[np.ndarray] = []
-        doc_parts: list[np.ndarray] = []
-        score_parts: list[np.ndarray] = []
+        qid_list: list[int] = []
+        doc_blobs: list[bytes] = []
+        score_blobs: list[bytes] = []
         for qid, term_meta in qmetas.items():
             items = sorted(
                 (idx, t, idf)
@@ -494,16 +567,43 @@ def topk_disjunctive_batch(
                 sel = cand[order]
             else:
                 sel = np.lexsort((q_docs, -scores))
-            qid_parts.append(np.full(sel.size, qid, dtype=np.int32))
-            doc_parts.append(q_docs[sel])
-            score_parts.append(scores[sel])
-        if not qid_parts:
+            sel_scores = scores[sel]
+            docs_g = q_docs[sel].astype(np.int64) + np.int64(doc_base)
+            # theta = full rank key (kth score, kth GLOBAL doc id): with
+            # the synthetic corpus's heavy BM25 score ties, a score-only
+            # bound keeps whole tie plateaus — the (score desc, doc asc)
+            # rank key the merge actually uses cuts them exactly
+            own_kth = (
+                (float(sel_scores[-1]), int(docs_g[-1]))
+                if sel.size == k
+                else None
+            )
+            prior = thetas.get(qid)
+            if prior is not None:
+                ps, pd_ = prior
+                # drop rows ranking strictly below the certified kth:
+                # >=k docs already outrank them, so they cannot reach
+                # the global top-k
+                keep = (sel_scores > ps) | ((sel_scores == ps) & (docs_g < pd_))
+                sel_scores = sel_scores[keep]
+                docs_g = docs_g[keep]
+            if own_kth is not None and (
+                prior is None
+                or own_kth[0] > prior[0]
+                or (own_kth[0] == prior[0] and own_kth[1] < prior[1])
+            ):
+                thetas[qid] = own_kth
+            if docs_g.size:
+                qid_list.append(qid)
+                doc_blobs.append(docs_g.tobytes())
+                score_blobs.append(sel_scores.tobytes())
+        if not qid_list:
             return empty
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(qid_parts),
-                "doc_id_int": np.concatenate(doc_parts),
-                "score": np.concatenate(score_parts),
+                "query_id": np.asarray(qid_list, dtype=np.int32),
+                "doc_ids": doc_blobs,
+                "scores": score_blobs,
             }
         )
 
@@ -731,9 +831,7 @@ def merge_query_topk_driver(
     distributed merge_query_topk is the large-cluster path."""
     if lpdf.empty:
         return {}
-    qids = lpdf["query_id"].to_numpy(dtype=np.int64)
-    docs = lpdf["doc_id_int"].to_numpy(dtype=np.int64)
-    scores = lpdf["score"].to_numpy(dtype=np.float64)
+    qids, docs, scores = _unpack_winner_rows(lpdf)
     order = np.lexsort((docs, -scores, qids))  # by query, score desc, doc asc
     qids, docs, scores = qids[order], docs[order], scores[order]
     out: dict[int, list[tuple[int, float]]] = {}
@@ -756,21 +854,22 @@ def merge_query_topk(local: DataFrame, k: int) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            docs = pdf["doc_id_int"].to_numpy(dtype=np.int64)
-            scores = pdf["score"].to_numpy(dtype=np.float64)
+            qids, docs, scores = _unpack_winner_rows(pdf)
             order = np.lexsort((docs, -scores, qids))
             qids, docs, scores = qids[order], docs[order], scores[order]
             starts = np.flatnonzero(np.r_[True, qids[1:] != qids[:-1]])
             ends = np.r_[starts[1:], qids.size]
-            keep = np.concatenate(
-                [np.arange(s, min(e, s + k)) for s, e in zip(starts, ends)]
-            )
+            out_q, out_d, out_s = [], [], []
+            for s, e in zip(starts, ends):
+                e = min(e, s + k)
+                out_q.append(int(qids[s]))
+                out_d.append(docs[s:e].tobytes())
+                out_s.append(scores[s:e].tobytes())
             yield pd.DataFrame(
                 {
-                    "query_id": qids[keep].astype("int32"),
-                    "doc_id_int": docs[keep],
-                    "score": scores[keep],
+                    "query_id": np.asarray(out_q, dtype=np.int32),
+                    "doc_ids": out_d,
+                    "scores": out_s,
                 }
             )
 
