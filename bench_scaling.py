@@ -68,7 +68,7 @@ def worker(cores: int, n_convs: int) -> None:
             tdf,
             os.path.join(tmp, "idx"),
             # identical index layout at every parallelism level
-            IndexBuildConfig(n_segment_chunks=2, n_range_buckets=32),
+            IndexBuildConfig(n_segment_chunks=6, n_range_buckets=32),
             input_desc=f"scaling-{n_convs}",
         )
         build_sec = time.time() - t0
@@ -150,7 +150,7 @@ def stage_phase_inputs(n_convs: int) -> None:
         spark,
         tdf,
         os.path.join(PHASE_STAGE_DIR, "idx"),
-        IndexBuildConfig(n_segment_chunks=2, n_range_buckets=32),
+        IndexBuildConfig(n_segment_chunks=6, n_range_buckets=32),
         input_desc=f"phase-stage-{n_convs}",
     )
     with open(marker, "w") as f:
@@ -179,7 +179,7 @@ def worker_phases(cores: int, n_convs: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
-    cfg = IndexBuildConfig(n_segment_chunks=2, n_range_buckets=32)
+    cfg = IndexBuildConfig(n_segment_chunks=6, n_range_buckets=32)
     out = {"cores": cores}
 
     tdf = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))

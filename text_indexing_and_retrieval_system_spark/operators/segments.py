@@ -287,8 +287,14 @@ def build_index(
         # chunk pipelines are independent — run them concurrently (the
         # Spark scheduler interleaves the jobs; manifests stay per-unit,
         # so resume granularity is unchanged); the doc store rides on its
-        # own thread and overlaps everything
-        with ThreadPoolExecutor(max_workers=min(n_chunks, 4) + 1) as pool:
+        # own thread and overlaps everything. In-flight pipelines are
+        # bounded by the session's parallelism: each pipeline keeps up to
+        # ~2 cores of mixed JVM+python work busy, so defaultParallelism/2
+        # saturates without oversubscribing (6 pipelines on a 2-core
+        # session measured 25% SLOWER than 2 — python workers of
+        # concurrent applyInPandas stages thrash each other's caches)
+        width = min(n_chunks, max(1, spark.sparkContext.defaultParallelism // 2), 4)
+        with ThreadPoolExecutor(max_workers=width + 1) as pool:
             stage4_future = pool.submit(run_stage4)
             list(pool.map(run_chunk, range(n_chunks)))
             stage4_future.result()
