@@ -49,21 +49,33 @@ def main(cores: int, n_queries: int) -> None:
         list(zip(lex["term"], lex["df"])),
         querygen.PoolSpec(min_word_freq=3, high=(5, 60), mid=(61, 400), low=(401, 2800)),
     )
-    qs = querygen.generate_queries(pools, n_queries=n_queries, seed=19)
-    # only pure disjunctions route to wand; keep those
-    qs = [q for q in qs if all(op not in q for op in ("AND", "NOT", '"'))]
+    # pure free-text disjunctions (the wand route): 2-4 terms drawn from
+    # the same H/M/L df pools the template generator uses
+    import random
+
+    rng = random.Random(19)
+    vocab = [
+        w
+        for key in ("H", "M", "L")
+        for w in pools[key]
+        if w.isalnum() and w.upper() not in ("AND", "OR", "NOT")
+    ]
+    qs = [
+        " OR ".join(f'"{w}"' for w in rng.sample(vocab, rng.randint(2, 4)))
+        for _ in range(n_queries)
+    ]
 
     # correctness cross-check: wand vs kernel strategy, same queries
     for q in qs[:8]:
-        a = idx.search(q, k=50, strategy="wand")
-        b = idx.search(q, k=50, strategy="kernel")
+        a = idx.search_collect(q, k=50, strategy="wand")
+        b = idx.search_collect(q, k=50, strategy="kernel")
         assert a.docs == b.docs and a.scores == b.scores, f"MISMATCH: {q}"
 
     def run_pass(queries):
         lat, tot, dec = [], 0, 0
         for q in queries:
             t0 = time.time()
-            idx.search(q, k=50, strategy="wand")
+            idx.search_collect(q, k=50, strategy="wand")
             lat.append(time.time() - t0)
             tot += idx.last_prune_stats["blocks_total"]
             dec += idx.last_prune_stats["blocks_decoded"]
@@ -71,6 +83,54 @@ def main(cores: int, n_queries: int) -> None:
 
     lat1, tot1, dec1 = run_pass(qs)  # first pass: seeds fill as buckets score
     lat2, tot2, dec2 = run_pass(qs)  # warm pass: certified seeds pre-loaded
+
+    # the query shape where block skipping pays: a rare high-idf term OR
+    # a very common low-idf term — the rare term's hits set theta above
+    # the common term's flat block bounds, so its blocks skip wholesale
+    full_lex = (
+        spark.read.parquet(os.path.join(STAGE, "idx", "lexicon"))
+        .select("term", "df")
+        .toPandas()
+    )
+    rare = list(
+        full_lex[(full_lex["df"] >= 2000) & (full_lex["df"] <= 6000)]["term"].head(64)
+    )
+    common = list(full_lex.nlargest(32, "df")["term"])
+    skew_qs = [
+        f'"{rng.choice(rare)}" OR "{rng.choice(common)}"' for _ in range(n_queries)
+    ]
+    def run_pass_k(queries, k):
+        lat, tot, dec = [], 0, 0
+        for q in queries:
+            t0 = time.time()
+            idx.search_collect(q, k=k, strategy="wand")
+            lat.append(time.time() - t0)
+            tot += idx.last_prune_stats["blocks_total"]
+            dec += idx.last_prune_stats["blocks_decoded"]
+        return lat, tot, dec
+
+    # k=10: theta (the per-bucket kth) must clear the common term's tie
+    # plateau for blocks to skip — needs >=k rare-term hits per bucket
+    lat3, tot3, dec3 = run_pass_k(skew_qs, 10)
+    for q in skew_qs[:4]:
+        a = idx.search_collect(q, k=10, strategy="wand")
+        b = idx.search_collect(q, k=10, strategy="kernel")
+        assert a.docs == b.docs and a.scores == b.scores, f"MISMATCH: {q}"
+
+    # block-bound flatness: why uniform pool queries cannot skip — the
+    # p99/p50 ratio of per-block upper bounds within a term's postings
+    import numpy as np
+
+    bl = (
+        idx.blocks_for(sorted(rng.sample(vocab, 24)))
+        .select("term", F.col("block_max_impact").alias("bound"))
+        .toPandas()
+    )
+    ratios = [
+        float(np.percentile(g["bound"], 99) / np.percentile(g["bound"], 50))
+        for _, g in bl.groupby("term")
+        if len(g) >= 20
+    ]
 
     out = {
         "cores": cores,
@@ -89,7 +149,16 @@ def main(cores: int, n_queries: int) -> None:
             "lat_avg_s": round(sum(lat2) / len(lat2), 3),
             "lat_p95_s": round(sorted(lat2)[int(0.95 * len(lat2))], 3),
         },
-        "identical_vs_kernel": 8,
+        "skewed_rare_or_common": {
+            "blocks_scanned": tot3,
+            "blocks_decoded": dec3,
+            "skip_rate": round(1 - dec3 / max(tot3, 1), 4),
+            "lat_avg_s": round(sum(lat3) / len(lat3), 3),
+        },
+        "block_bound_p99_over_p50": round(
+            float(np.mean(ratios)) if ratios else float("nan"), 4
+        ),
+        "identical_vs_kernel": 12,
     }
     print(json.dumps(out))
     spark.stop()
