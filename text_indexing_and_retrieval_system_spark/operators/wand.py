@@ -106,9 +106,10 @@ def _with_slot(df: DataFrame, n_buckets: int):
     ever affects performance, never results."""
     n_parts = n_buckets
     vals = _slot_values(n_parts)
-    mapping = F.create_map(
-        *[F.lit(x) for b in range(n_parts) for x in (b, vals[b])]
-    )
+    # ONE py4j call: F.create_map over 2*n literal Columns costs ~n
+    # driver round trips (~0.1 s/query at 32 buckets, pure driver time)
+    pairs = ",".join(f"{b},{vals[b]}" for b in range(n_parts))
+    mapping = F.expr(f"map({pairs})")
     return df.withColumn("__slot", mapping[F.col("range_bucket")]), n_parts
 
 
