@@ -55,29 +55,42 @@ def _unpack_blocks(blocks: DataFrame, with_positions: bool) -> DataFrame:
     so only scanned/decoded) when the caller needs them."""
     cols = ["term", "payload"] + (["pos_payload"] if with_positions else [])
 
+    import numpy as np
+
     def run(batches):
+        empty = pd.DataFrame(columns=["term", "doc_id_int", "tf", "dl", "positions"])
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                d, tf, dl, _ = codec.unpack_postings(bytes(row.payload))
-                if with_positions:
+            if not len(pdf):
+                yield empty
+                continue
+            if with_positions:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    d, tf, dl, _ = codec.unpack_postings(bytes(row.payload))
                     pos = codec.unpack_positions(bytes(row.pos_payload), len(d))
-                    pos_col = [list(p) for p in pos]
-                else:
-                    pos_col = [None] * len(d)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": row.term,
-                            "doc_id_int": d,
-                            "tf": tf.astype("int32"),
-                            "dl": dl.astype("int32"),
-                            "positions": pos_col,
-                        }
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": row.term,
+                                "doc_id_int": d,
+                                "tf": tf.astype("int32"),
+                                "dl": dl.astype("int32"),
+                                "positions": [list(p) for p in pos],
+                            }
+                        )
                     )
-                )
-            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-                columns=["term", "doc_id_int", "tf", "dl", "positions"]
+                yield pd.concat(outs, ignore_index=True)
+                continue
+            # no-positions fast path: one vectorized decode per Arrow batch
+            bn, d, tf, dl = codec.unpack_postings_batch(pdf["payload"].to_list())
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), bn),
+                    "doc_id_int": d,
+                    "tf": tf.astype("int32"),
+                    "dl": dl.astype("int32"),
+                    "positions": [None] * int(bn.sum()),
+                }
             )
 
     return blocks.select(*cols).mapInPandas(run, schema=POSTINGS_SCHEMA)
