@@ -154,16 +154,28 @@ def test_murmur3_matches_spark_hash(spark):
 
 
 def test_index_version_changes_on_stats_rewrite(spark, corpus_df, tmp_path):
-    """The wand theta-seed key pins the index generation via stats.json's
-    mtime: any rewrite (build/refresh commit) must change it (ADVICE r2:
-    stale executor seeds across a same-stats refresh)."""
+    """The wand theta-seed key pins the index generation via an explicit
+    random generation id in stats.json (ADVICE r3: st_mtime_ns can
+    collide on coarse-mtime filesystems). Every build/refresh commit
+    writes a fresh id; indexes without one fall back to mtime."""
+    import uuid
+
     idx_dir = str(tmp_path / "ver_idx")
     idx = engine.build(spark, corpus_df, idx_dir, CFG, input_desc="ver")
     v1 = idx.index_version
     stats_path = os.path.join(idx_dir, "stats.json")
     with open(stats_path) as f:
         stats = json.load(f)
-    with open(stats_path, "w") as f:  # same content, new generation
+    assert v1 == stats["generation"]  # not mtime-derived
+    # a refresh commit with identical corpus stats still bumps the version
+    stats["generation"] = uuid.uuid4().hex
+    with open(stats_path, "w") as f:
         json.dump(stats, f, indent=2)
     idx.reload()
     assert idx.index_version != v1
+    # legacy stats.json (pre-round-4, no generation key) -> mtime fallback
+    del stats["generation"]
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=2)
+    idx.reload()
+    assert idx.index_version == os.stat(stats_path).st_mtime_ns

@@ -124,18 +124,23 @@ class InvertedIndex:
             )
         with open(stats_path) as f:
             self.stats = json.load(f)
-        # monotonic index version: stats.json is rewritten by every build
-        # and every refresh_postings commit, so its mtime distinguishes
-        # index generations even when n_docs/avgdl happen to be unchanged
-        # (e.g. tombstone + re-add of same-length docs). Folded into the
-        # wand theta-seed key so executor-cached seeds from a previous
-        # generation can never prune against the new postings.
-        self.index_version = os.stat(stats_path).st_mtime_ns
+        # index version: every build / refresh_postings commit writes a
+        # fresh random generation id into stats.json, distinguishing index
+        # generations even when n_docs/avgdl happen to be unchanged (e.g.
+        # tombstone + re-add of same-length docs). Folded into the wand
+        # theta-seed key so executor-cached seeds from a previous
+        # generation can never prune against the new postings. mtime_ns is
+        # only the fallback for pre-round-4 indexes — coarse-mtime
+        # filesystems can give two generations the same tick.
+        self.index_version = self.stats.get("generation") or os.stat(
+            stats_path
+        ).st_mtime_ns
         man = Manifests(self.dir)
         build_info = man.read("build") or man.read("stage3_postings")
         cfg = (build_info or {}).get("config", {})
         self.n_term_buckets = cfg.get("n_term_buckets", 16)
         self.n_range_buckets = cfg.get("n_range_buckets", 32)
+        self.store_positions = bool(cfg.get("store_positions", True))
         self.range_shift = None  # doc-id range bucketing of the postings
         for unit in ("refresh_postings", "stage3_postings"):
             info = man.read(unit)
@@ -191,6 +196,12 @@ class InvertedIndex:
         `pos_payload` column BEFORE any shuffle, so parquet column
         pruning keeps position bytes entirely off the hot path — only
         phrase queries pay for them."""
+        if with_positions and not self.store_positions:
+            raise ValueError(
+                f"index at {self.dir} was built with store_positions=False; "
+                "phrase queries require positions — rebuild with "
+                "store_positions=True"
+            )
         buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
         if self._postings_df is None:
             self._postings_df = self.spark.read.parquet(
@@ -220,7 +231,11 @@ class InvertedIndex:
         # parquet row-group pushdown.
         if not tokens:
             return df.filter(F.lit(False))
-        quoted = ",".join("'" + t.replace("'", "\\'") + "'" for t in tokens)
+        # backslash FIRST, then quote: a term ending in '\' (reachable
+        # with remove_punctuation=False) must not escape the closing quote
+        quoted = ",".join(
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'" for t in tokens
+        )
         return df.filter(F.col("bucket").isin(buckets)).filter(
             F.expr(f"term IN ({quoted})")
         )
@@ -291,7 +306,14 @@ class InvertedIndex:
         return self._doclen_df
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "docs"))
+        from .operators.segments import DOC_COLS
+
+        # fresh builds write docs/chunk=<i>/ (per-chunk pipeline); select
+        # the contract columns so the inferred partition column never
+        # leaks (mirrors doclen())
+        return self.spark.read.parquet(os.path.join(self.dir, "docs")).select(
+            *DOC_COLS
+        )
 
     # ----------------------------- search ------------------------------
 

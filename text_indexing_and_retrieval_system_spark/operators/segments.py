@@ -21,7 +21,10 @@ sources/catalog.py for the seam):
       postings/bucket=<b>/  stage3: compressed blocks, term-bucketed,
                             sorted by (term, first_doc) within files
       lexicon/              stage3: term, df, cf, idf, max_impact
-      docs/                 stage4: doc store for hydration
+      docs/chunk=<i>/       stage4: doc store for hydration (per-chunk,
+                            written FIRST in each pipeline; stage 1
+                            tokenizes from it, so raw input is scanned
+                            exactly once per build)
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +42,10 @@ from . import index_build as ib
 from .index_build import IndexBuildConfig
 
 N_TERM_BUCKET_EXPR_SUBSTR = 8
+
+# hydration-store column contract (stage 4 / docs/): readers select these
+# explicitly so the inferred `chunk=` partition column never leaks out
+DOC_COLS = ("doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -155,26 +163,60 @@ def build_index(
     docs_path = os.path.join(index_dir, "docs")
     n_chunks = cfg.n_segment_chunks
 
-    # ---------------- stages 1-3: per-chunk pipelines ----------------
+    # ---------------- stages 1-4: per-chunk pipelines ----------------
     # Chunks are contiguous conversation ranges, so their doc-id sets are
-    # disjoint: tokenize -> doclen -> pack+write postings runs per chunk
-    # with NO global barrier. Block packing no longer needs global avgdl
-    # (blocks carry (max_tf, min_dl); the impact bound folds in at read
-    # time — ib.impact_bound_col), which is what unlocks the pipeline:
-    # chunk i's pack/write (the one phase bounded by the write path, not
-    # cores) overlaps chunk i+1's CPU-bound tokenize instead of
-    # serializing behind all of stage 1. Per-(term, range_bucket) blocks
-    # from different chunks cover disjoint ordered doc ranges, so queries
-    # traverse them exactly like same-shuffle blocks.
+    # disjoint: docs-store write -> tokenize -> doclen -> pack+write
+    # postings runs per chunk with NO global barrier. Block packing no
+    # longer needs global avgdl (blocks carry (max_tf, min_dl); the
+    # impact bound folds in at read time — ib.impact_bound_col), which is
+    # what unlocks the pipeline: chunk i's pack/write (the one phase
+    # bounded by the write path, not cores) overlaps chunk i+1's
+    # CPU-bound tokenize instead of serializing behind all of stage 1.
+    # Per-(term, range_bucket) blocks from different chunks cover
+    # disjoint ordered doc ranges, so queries traverse them exactly like
+    # same-shuffle blocks.
+    #
+    # The doc store (stage 4, reference S5 `index_custom.py:203-211`) is
+    # folded INTO the chunk pipeline rather than run as a separate
+    # full-input job: round-3 measured it as the build's Amdahl floor
+    # (~165 s wall at BOTH local[2] and local[8] — a constant tail that
+    # caps scaling past ~8 cores). Writing docs/chunk=<i> FIRST and
+    # tokenizing from the just-written (columnar, doc_id-sorted) chunk
+    # also eliminates the second full scan of the input: the raw input is
+    # now read exactly once per build.
+    docs_parts_per_chunk = max(1, -(-n_store_parts // n_chunks))
+    legacy_docs = man.done("stage4_docs")  # pre-round-4 flat doc store
 
     def run_chunk(chunk: int) -> None:
         chunk_seg = os.path.join(seg_root, f"chunk={chunk}")
+        chunk_docs = os.path.join(docs_path, f"chunk={chunk}")
+        lo = chunk * n_convs // n_chunks
+        hi = (chunk + 1) * n_convs // n_chunks
+
+        unit4 = f"stage4_chunk_{chunk:03d}"
+        if not legacy_docs and not man.done(unit4):
+            t0 = time.time()
+            part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
+            (
+                part.select(*DOC_COLS)
+                .repartition(docs_parts_per_chunk, store_part_col)
+                .sortWithinPartitions("doc_id_int")
+                .write.mode("overwrite")
+                .parquet(chunk_docs)
+            )
+            man.record(unit4, conv_range=[lo, hi], seconds=time.time() - t0, **lineage)
+
         unit1 = f"stage1_chunk_{chunk:03d}"
         if not man.done(unit1):
             t0 = time.time()
-            lo = chunk * n_convs // n_chunks
-            hi = (chunk + 1) * n_convs // n_chunks
-            part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
+            if legacy_docs:
+                part = docs.filter(
+                    (F.col("conv_int") >= lo) & (F.col("conv_int") < hi)
+                )
+            else:
+                # tokenize from the chunk's own doc store — column-pruned
+                # to (doc_id_int, text); the raw input is not re-scanned
+                part = spark.read.parquet(chunk_docs)
             seg = ib.tokenize_to_doc_postings(part, cfg.normalize)
             seg.write.mode("overwrite").parquet(chunk_seg)
             man.record(
@@ -256,48 +298,26 @@ def build_index(
             )
             man.record(unit3, seconds=time.time() - t0, **lineage)
 
-    # ---------------- stage 4 (concurrent): doc store ----------------
     from concurrent.futures import ThreadPoolExecutor
-
-    def run_stage4() -> None:
-        if man.done("stage4_docs"):
-            return
-        t0 = time.time()
-        (
-            docs.select(
-                "doc_id_int", "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
-            )
-            .repartition(n_store_parts, store_part_col)
-            .sortWithinPartitions("doc_id_int")
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
-        man.record("stage4_docs", seconds=time.time() - t0, **lineage)
 
     if fail_after_chunk is not None:
         # test hook path: strictly sequential so the crash point is exact
-        # (stage4 deliberately not started — a crashed build must not
-        # leave a concurrent writer running)
         for chunk in range(n_chunks):
             run_chunk(chunk)
             if chunk == fail_after_chunk:
                 raise RuntimeError(f"simulated crash after stage1_chunk_{chunk:03d}")
-        run_stage4()
     else:
         # chunk pipelines are independent — run them concurrently (the
         # Spark scheduler interleaves the jobs; manifests stay per-unit,
-        # so resume granularity is unchanged); the doc store rides on its
-        # own thread and overlaps everything. In-flight pipelines are
+        # so resume granularity is unchanged). In-flight pipelines are
         # bounded by the session's parallelism: each pipeline keeps up to
         # ~2 cores of mixed JVM+python work busy, so defaultParallelism/2
         # saturates without oversubscribing (6 pipelines on a 2-core
         # session measured 25% SLOWER than 2 — python workers of
         # concurrent applyInPandas stages thrash each other's caches)
         width = min(n_chunks, max(1, spark.sparkContext.defaultParallelism // 2), 4)
-        with ThreadPoolExecutor(max_workers=width + 1) as pool:
-            stage4_future = pool.submit(run_stage4)
+        with ThreadPoolExecutor(max_workers=width) as pool:
             list(pool.map(run_chunk, range(n_chunks)))
-            stage4_future.result()
 
     # ---------------- stats fold + global lexicon ----------------
     n_docs = 0
@@ -312,6 +332,9 @@ def build_index(
         "avgdl": total_tokens / n_docs if n_docs else 0.0,
         "total_tokens": total_tokens,
         "n_convs": n_convs,
+        # random generation id — keys executor-side theta-seed caches
+        # (engine.reload); mtime alone can collide on coarse-mtime FS
+        "generation": uuid.uuid4().hex,
     }
     with open(stats_path, "w") as f:
         json.dump(stats, f, indent=2)

@@ -108,7 +108,27 @@ class ParquetDirProvider(TableProvider):
         w.parquet(self.location(table))
 
     def append(self, df, table):
-        df.write.mode("append").parquet(self.location(table))
+        loc = self.location(table)
+        if os.path.isdir(loc):
+            # hive-partitioned layout (e.g. docs/chunk=<i>/ from the
+            # per-chunk build): a flat append at the root would mix leaf
+            # depths and break Spark's partition discovery — append as a
+            # fresh partition directory instead
+            parts = [
+                d
+                for d in os.listdir(loc)
+                if "=" in d and os.path.isdir(os.path.join(loc, d))
+            ]
+            if parts:
+                key = parts[0].split("=", 1)[0]
+                n = len(parts)
+                sub = os.path.join(loc, f"{key}=append_{n:06d}")
+                while os.path.isdir(sub):
+                    n += 1
+                    sub = os.path.join(loc, f"{key}=append_{n:06d}")
+                df.write.mode("overwrite").parquet(sub)
+                return
+        df.write.mode("append").parquet(loc)
 
     def exists(self, table):
         return os.path.isdir(self.location(table))

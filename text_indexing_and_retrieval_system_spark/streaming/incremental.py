@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,7 +151,11 @@ def add_documents(
         # so the range predicate prunes to ~nothing on a fresh add (new
         # convs land past the existing range); on a replay it matches the
         # chunk's own rows and the append becomes a no-op.
-        bounds = seg.sparkSession.read.parquet(path).agg(
+        # bounds from the DOCS frame, not the tokenized segment: zero-token
+        # docs produce no segment rows, and ids outside a segment-derived
+        # range would be re-appended on replay. No forced broadcast — on a
+        # replay `already` is a full chunk's ids; let Spark (AQE) pick.
+        bounds = docs.agg(
             F.min("doc_id_int").alias("lo"), F.max("doc_id_int").alias("hi")
         ).collect()[0]
         if bounds["lo"] is not None:
@@ -159,7 +164,7 @@ def add_documents(
                 .filter(F.col("doc_id_int").between(bounds["lo"], bounds["hi"]))
                 .select("doc_id_int")
             )
-            doc_cols = doc_cols.join(F.broadcast(already), "doc_id_int", "left_anti")
+            doc_cols = doc_cols.join(already, "doc_id_int", "left_anti")
     provider.append(doc_cols, "docs")
     n = spark.read.parquet(path).count()
     man.record(unit, rows=n, seconds=time.time() - t0)
@@ -233,6 +238,9 @@ def refresh_postings(
         "avgdl": float(agg["avgdl"]),
         "total_tokens": agg["tt"],
         "n_convs": convmap.count(),
+        # fresh generation id: keys executor theta-seed caches (see
+        # engine.reload) — mtime alone can collide on coarse-mtime FS
+        "generation": uuid.uuid4().hex,
     }
 
     max_doc = seg.agg(F.max("doc_id_int")).collect()[0][0] or 0
@@ -275,7 +283,14 @@ def refresh_postings(
     # doc_id_int rows a replayed add_documents append may have left —
     # keeper is the min doc_id, matching the reference's first-wins dedup)
     if provider.exists("docs"):
-        docs_df = _apply_tombstones(spark, index_dir, provider.read(spark, "docs"))
+        from ..operators.segments import DOC_COLS
+
+        # select the contract columns: a chunked (per-chunk build) store
+        # carries an inferred `chunk` partition column that must not leak
+        # into the refreshed flat rewrite
+        docs_df = _apply_tombstones(
+            spark, index_dir, provider.read(spark, "docs").select(*DOC_COLS)
+        )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("doc_id_int").orderBy("doc_id")
