@@ -24,7 +24,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def preflight_load_check(max_load_per_core: float = 0.25) -> None:
+    """Warn loudly when the box is not idle — a contaminated run cost
+    round 3 its round-over-round story (BENCH_r03 apparent regression
+    was a verification job overlapping the bench). Warn-only: the driver
+    runs this unattended, so bailing would drop the round's artifact."""
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+    except OSError:
+        return
+    if load1 > max_load_per_core * ncpu:
+        print(
+            f"WARNING: loadavg {load1:.1f} on {ncpu} cpus — box is not idle; "
+            "bench numbers will be contaminated. Re-run when quiet.",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
+    preflight_load_check()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

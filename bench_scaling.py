@@ -282,6 +282,9 @@ def worker_qsustained(cores: int) -> None:
 
 
 def main() -> None:
+    from bench import preflight_load_check
+
+    preflight_load_check()
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker-qsustained":
         worker_qsustained(int(sys.argv[2]))
         return

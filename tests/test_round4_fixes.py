@@ -131,3 +131,38 @@ def test_generation_in_stats(built_index):
         stats = json.load(f)
     assert len(stats["generation"]) == 32
     assert built_index.index_version == stats["generation"]
+
+
+def test_driver_paths_bit_identical_to_distributed(spark, built_index):
+    """The interactive driver-local wand/kernel paths (head cache) must
+    be bit-identical to the distributed applyInPandas kernels."""
+    dist = engine.InvertedIndex(spark, built_index.dir)
+    dist.DRIVER_WAND_MAX_DF = 0  # force the distributed paths
+    dist.DRIVER_NOT_MAX_DOCS = 0
+    queries = [
+        ('"said" OR "index" OR "the"', "wand"),
+        ('"said" OR "order"', "wand"),
+        ('"said" AND "index"', "auto"),
+        ('"said" AND NOT "index"', "auto"),
+        ('NOT "said"', "auto"),
+        ('PHRASE "it said"', "auto"),
+        ('PHRASE "it said" OR "order"', "auto"),
+    ]
+    for q, strat in queries:
+        a = built_index.search_collect(q, k=25, strategy=strat)
+        b = dist.search_collect(q, k=25, strategy=strat)
+        assert a.docs == b.docs, q
+        assert a.scores == b.scores, q
+    # the wand driver path keeps reporting prune stats
+    built_index.search_collect('"said" OR "index"', k=5, strategy="wand")
+    st = built_index.last_prune_stats
+    assert st["blocks_total"] >= st["blocks_decoded"] >= 0
+
+
+def test_block_cache_lru_eviction(spark, built_index):
+    idx = engine.InvertedIndex(spark, built_index.dir)
+    idx.BLOCK_CACHE_MAX_BYTES = 1  # evict after every fetch
+    a = idx.search_collect('"said" OR "index"', k=10, strategy="wand")
+    b = idx.search_collect('"said" OR "index"', k=10, strategy="wand")
+    assert a.docs == b.docs and a.scores == b.scores
+    assert len(idx._block_cache) <= 2  # only the latest fetch survives

@@ -178,6 +178,15 @@ class InvertedIndex:
         self._convmap: dict[int, str] | None = None
         self._postings_df = None
         self._n_terms = None
+        # driver-local posting-block cache (the interactive head cache):
+        # term -> its block frame, LRU-bounded by payload bytes. Cleared
+        # here so a refresh can never serve stale blocks.
+        from collections import OrderedDict
+
+        self._block_cache: OrderedDict[tuple, pd.DataFrame] = OrderedDict()
+        self._block_cache_bytes = 0
+        self._driver_theta: dict[str, float] = {}
+        self._doclen_ids_cache = None
         for unit in ("refresh_postings", "stage3_postings"):
             info = man.read(unit)
             if info and info.get("n_terms") is not None:
@@ -246,6 +255,16 @@ class InvertedIndex:
         )
 
     LEX_DRIVER_CACHE_MAX = 5_000_000  # terms; ~0.5 GB driver budget
+    # interactive head-cache gate: queries whose terms' total df is under
+    # this run driver-local (one single-stage pruned fetch + in-process
+    # scoring) instead of paying a 2-stage shuffle job (~0.4 s of
+    # scheduling for microseconds of math at low df). ~8 payload
+    # bytes/posting -> <=~32 MB fetched worst-case; on a 10^12-doc
+    # deployment hot terms blow past the cap and take the distributed
+    # kernel automatically.
+    DRIVER_WAND_MAX_DF = 4_000_000
+    BLOCK_CACHE_MAX_BYTES = 256 << 20  # driver posting-block LRU budget
+    DRIVER_NOT_MAX_DOCS = 2_000_000  # NOT complement needs the universe
     CONVMAP_DRIVER_CACHE_MAX = 5_000_000  # convs
 
     def lexicon_for(self, tokens: list[str]) -> pd.DataFrame:
@@ -505,10 +524,25 @@ class InvertedIndex:
             node, lambda s: normalize_query_terms([s], self.normalize_cfg)[0]
         )
         term_meta = self._term_meta(occ)
-        blocks = self.blocks_for(
-            all_tokens, with_positions=wand.tree_has(tree, "phrase")
-        )
+        has_phrase = wand.tree_has(tree, "phrase")
         needs_universe = wand.tree_has(tree, "not")
+        # interactive head-cache gate (see DRIVER_WAND_MAX_DF): small-df
+        # queries score driver-local over cached block frames. NOT needs
+        # the complement universe (every doc id), so it additionally
+        # requires a small corpus — at deployment scale NOT queries stay
+        # on the distributed cogroup path.
+        lex = self.lexicon_for(all_tokens)
+        if int(lex["df"].sum() or 0) <= self.DRIVER_WAND_MAX_DF and (
+            not needs_universe
+            or (
+                self.range_shift is not None
+                and int(self.stats.get("n_docs") or 0) <= self.DRIVER_NOT_MAX_DOCS
+            )
+        ):
+            return self._search_kernel_driver_rows(
+                tree, term_meta, all_tokens, k, has_phrase, needs_universe
+            )
+        blocks = self.blocks_for(all_tokens, with_positions=has_phrase)
         local = wand.boolean_topk(
             blocks,
             tree,
@@ -521,6 +555,77 @@ class InvertedIndex:
         )
         return self._finalize_topk(local.collect(), k)
 
+    def _doclen_ids(self) -> "np.ndarray":
+        """Sorted int64 doc-id universe, driver-cached (gated by
+        DRIVER_NOT_MAX_DOCS at the call site)."""
+        if self._doclen_ids_cache is None:
+            import numpy as np
+
+            pdf = self.doclen().select("doc_id_int").toPandas()
+            self._doclen_ids_cache = np.sort(
+                pdf["doc_id_int"].to_numpy(dtype="int64")
+            )
+        return self._doclen_ids_cache
+
+    def _search_kernel_driver_rows(
+        self,
+        tree,
+        term_meta: dict,
+        all_tokens: list[str],
+        k: int,
+        has_phrase: bool,
+        needs_universe: bool,
+    ) -> list[tuple]:
+        """Driver-local boolean/phrase+BM25: same per-bucket kernel body
+        (wand.boolean_score_bucket) as the distributed path, run
+        in-process over cached block frames — bit-identical results,
+        none of the 2-stage shuffle job's scheduling floor."""
+        import numpy as np
+
+        pdf = self._blocks_pdf_for(all_tokens, with_positions=has_phrase)
+        empty_cols = list(wand.KERNEL_COLS) + (
+            ["pos_payload"] if has_phrase else []
+        )
+        empty = (
+            pdf.iloc[0:0] if pdf is not None else pd.DataFrame(columns=empty_cols)
+        )
+        groups: dict[int, pd.DataFrame] = (
+            {int(b): g for b, g in pdf.groupby("range_bucket", sort=False)}
+            if pdf is not None
+            else {}
+        )
+        buckets = set(groups)
+        uni_by_bucket: dict[int, "np.ndarray"] = {}
+        if needs_universe:
+            ids = self._doclen_ids()
+            ub = (ids >> np.int64(self.range_shift)).astype(np.int64)
+            # ids are sorted, so each bucket's slice is contiguous
+            edges = np.flatnonzero(np.r_[True, ub[1:] != ub[:-1]])
+            ends = np.r_[edges[1:], ids.size]
+            for s, e in zip(edges, ends):
+                uni_by_bucket[int(ub[s])] = ids[s:e]
+            buckets |= set(uni_by_bucket)
+        outs = []
+        for b in sorted(buckets):
+            out = wand.boolean_score_bucket(
+                groups.get(b, empty),
+                tree,
+                term_meta,
+                self.stats["avgdl"],
+                k,
+                universe=uni_by_bucket.get(b) if needs_universe else None,
+            )
+            if len(out):
+                outs.append(out)
+        if not outs:
+            return []
+        merged = pd.concat(outs, ignore_index=True)
+        rows = [
+            {"doc_id_int": int(d), "score": float(s)}
+            for d, s in zip(merged["doc_id_int"], merged["score"])
+        ]
+        return self._finalize_topk(rows, k)
+
     def _search_wand_rows(
         self, node: qp.Node, occ: list[tuple[int, str]], k: int, scorer: str
     ) -> list[tuple]:
@@ -529,18 +634,21 @@ class InvertedIndex:
                 node, occ, sorted({t for _, t in occ}), k, scorer
             )
         term_meta = self._term_meta(occ)
-        blocks = self.blocks_for(sorted(term_meta))
         # cross-bucket theta key: worker processes reuse certified k-th
         # scores across this query's buckets and across repeats of the
-        # query in the session; index_version (stats.json mtime, bumped by
-        # every build/refresh commit) pins the index generation so a
-        # refresh invalidates stale seeds even when n_docs/avgdl are
+        # query in the session; index_version (stats.json generation id,
+        # bumped by every build/refresh commit) pins the index generation
+        # so a refresh invalidates stale seeds even when n_docs/avgdl are
         # coincidentally unchanged
         qkey = (
             f"{self.dir}|v{self.index_version}|{self.stats['n_docs']}|"
             f"{self.stats['avgdl']}|k={k}|"
             + "|".join(f"{t}:{len(m)}" for t, m in sorted(term_meta.items()))
         )
+        lex = self.lexicon_for(sorted(term_meta))
+        if int(lex["df"].sum() or 0) <= self.DRIVER_WAND_MAX_DF:
+            return self._search_wand_driver_rows(term_meta, k, qkey)
+        blocks = self.blocks_for(sorted(term_meta))
         acc_total, acc_decoded = self._prune_accs()
         t0, d0 = acc_total.value, acc_decoded.value
         local = wand.topk_disjunctive(
@@ -562,6 +670,94 @@ class InvertedIndex:
             "blocks_total": acc_total.value - t0,
             "blocks_decoded": acc_decoded.value - d0,
         }
+        return self._finalize_topk(rows, k)
+
+    def _blocks_pdf_for(
+        self, tokens: list[str], with_positions: bool = False
+    ) -> pd.DataFrame | None:
+        """Per-term block frames through the driver LRU cache; missing
+        terms fetched in ONE single-stage pruned collect (parquet bucket
+        dirs + row-group IN pruning; no shuffle, no python workers).
+        Position-bearing frames are cached under a separate key so the
+        ranked path never carries position bytes. Returns None when no
+        token has postings."""
+        cols = list(wand.KERNEL_COLS) + (["pos_payload"] if with_positions else [])
+        keys = [(t, with_positions) for t in tokens]
+        missing = [t for t in tokens if (t, with_positions) not in self._block_cache]
+        if missing:
+            pdf = (
+                self.blocks_for(missing, with_positions=with_positions)
+                .select(*cols)
+                .toPandas()
+            )
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            empty = pdf.iloc[0:0]
+            for t in missing:
+                g = groups.get(t, empty)
+                self._block_cache[(t, with_positions)] = g
+                if len(g):
+                    self._block_cache_bytes += int(g["payload"].map(len).sum())
+        frames = []
+        for key in keys:
+            g = self._block_cache[key]
+            self._block_cache.move_to_end(key)  # LRU touch
+            if len(g):
+                frames.append(g)
+        # evict AFTER the lookups: this call's keys were just touched, so
+        # the cold end goes first; references held in `frames` stay valid
+        # even if an over-budget fetch immediately evicts its own keys
+        while (
+            self._block_cache_bytes > self.BLOCK_CACHE_MAX_BYTES
+            and self._block_cache
+        ):
+            _, old = self._block_cache.popitem(last=False)
+            if len(old):
+                self._block_cache_bytes -= int(old["payload"].map(len).sum())
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    def _search_wand_driver_rows(
+        self, term_meta: dict, k: int, qkey: str
+    ) -> list[tuple]:
+        """Driver-local exact WAND: buckets scored sequentially in one
+        process with a rising merged-kth theta (a certified lower bound
+        on the global k-th — same exactness argument as the distributed
+        cross-bucket seeds; skipping is strict, so plateau ties are
+        never dropped). Results bit-identical to the distributed path
+        (asserted in test_wand_pruning.py)."""
+        import numpy as np
+
+        pdf = self._blocks_pdf_for(sorted(term_meta))
+        theta = self._driver_theta.get(qkey, -np.inf)
+        n_total = n_decoded = 0
+        scores_parts: list[np.ndarray] = []
+        docs_parts: list[np.ndarray] = []
+        if pdf is not None:
+            for _, grp in pdf.groupby("range_bucket", sort=True):
+                out, t, d = wand.score_bucket_pruned(
+                    grp, term_meta, self.stats["avgdl"], k, theta_seed=theta
+                )
+                n_total += t
+                n_decoded += d
+                if len(out):
+                    scores_parts.append(out["score"].to_numpy())
+                    docs_parts.append(out["doc_id_int"].to_numpy())
+                    sc = np.concatenate(scores_parts)
+                    if sc.size >= k:
+                        theta = max(theta, float(np.partition(sc, -k)[-k]))
+        self.last_prune_stats = {
+            "blocks_total": n_total,
+            "blocks_decoded": n_decoded,
+        }
+        if np.isfinite(theta):
+            self._driver_theta[qkey] = theta
+        if not docs_parts:
+            return []
+        rows = [
+            {"doc_id_int": int(d), "score": float(s)}
+            for d, s in zip(np.concatenate(docs_parts), np.concatenate(scores_parts))
+        ]
         return self._finalize_topk(rows, k)
 
     def _prune_accs(self):

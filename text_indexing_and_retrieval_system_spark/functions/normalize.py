@@ -50,7 +50,7 @@ class NormalizeConfig:
     remove_numbers: bool = True
     remove_special_characters: bool = True
     stopword_languages: tuple[str, ...] = ("english",)
-    stemming: str | None = "porter"  # porter | None
+    stemming: str | None = "porter"  # porter | snowball/porter2 | None
     lemmatization: str | None = None  # None only (wordnet unavailable)
 
     def strip_pattern(self) -> str | None:
@@ -65,6 +65,10 @@ class NormalizeConfig:
 DEFAULT_CONFIG = NormalizeConfig()
 
 _stemmer = MemoStemmer()
+
+from .porter2 import MemoPorter2  # noqa: E402  (shares the module cache)
+
+_stemmer2 = MemoPorter2()
 
 
 def normalize_to_tokens(texts: pd.Series, cfg: NormalizeConfig = DEFAULT_CONFIG) -> pd.Series:
@@ -103,10 +107,15 @@ def normalize_to_tokens(texts: pd.Series, cfg: NormalizeConfig = DEFAULT_CONFIG)
         uniq = pd.unique(exploded)
         mapping = dict(zip(uniq, _stemmer.stem_many(uniq)))
         exploded = exploded.map(mapping)
+    elif cfg.stemming in ("snowball", "porter2"):
+        uniq = pd.unique(exploded)
+        mapping = dict(zip(uniq, _stemmer2.stem_many(uniq)))
+        exploded = exploded.map(mapping)
     elif cfg.stemming is not None:
         raise NotImplementedError(
-            f"stemming algorithm {cfg.stemming!r} not available (porter only; "
-            "reference also offers lancaster/snowball via NLTK)"
+            f"stemming algorithm {cfg.stemming!r} not available "
+            "(porter/snowball; reference also offers lancaster via NLTK — "
+            "its Paice/Husk rule table is not vendored here)"
         )
 
     regrouped = exploded.groupby(level=0).agg(list)

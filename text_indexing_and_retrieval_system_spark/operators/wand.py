@@ -766,6 +766,28 @@ def _score_candidates_np(
     return pd.DataFrame({"doc_id_int": cands[sel], "score": scores[sel]})
 
 
+def boolean_score_bucket(
+    pdf: pd.DataFrame,
+    tree,
+    term_meta: dict[str, list[tuple[int, float]]],
+    avgdl: float,
+    k: int,
+    universe=None,
+) -> pd.DataFrame:
+    """One range bucket of blocks -> boolean/phrase-filtered BM25 local
+    top-k. The shared per-bucket kernel body: the distributed
+    boolean_topk applies it inside applyInPandas; the engine's
+    driver-local interactive path calls it in-process over cached block
+    frames. `universe` (sorted int64 doc ids of the bucket) is required
+    when the tree contains NOT."""
+    per_term = _decode_terms(pdf, avgdl) if len(pdf) else {}
+    term_docs = {t: d for t, (d, _) in per_term.items()}
+    # positions decode only happens if/when a phrase subtree is hit
+    phrase_eval = lambda ws: _phrase_eval_factory(pdf, ws)(ws)  # noqa: E731
+    cands = _eval_tree(tree, term_docs, universe, phrase_eval)
+    return _score_candidates_np(cands, per_term, term_meta, k)
+
+
 def boolean_topk(
     blocks: DataFrame,
     tree,
@@ -790,12 +812,7 @@ def boolean_topk(
     needs_universe = tree_has(tree, "not")
 
     def run_one(pdf: pd.DataFrame, universe) -> pd.DataFrame:
-        per_term = _decode_terms(pdf, avgdl) if len(pdf) else {}
-        term_docs = {t: d for t, (d, _) in per_term.items()}
-        # positions decode only happens if/when a phrase subtree is hit
-        phrase_eval = lambda ws: _phrase_eval_factory(pdf, ws)(ws)  # noqa: E731
-        cands = _eval_tree(tree, term_docs, universe, phrase_eval)
-        return _score_candidates_np(cands, per_term, term_meta, k)
+        return boolean_score_bucket(pdf, tree, term_meta, avgdl, k, universe)
 
     if needs_universe:
         if doclen is None or range_shift is None:
