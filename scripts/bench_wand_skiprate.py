@@ -164,8 +164,141 @@ def main(cores: int, n_queries: int) -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 8,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+REALISTIC_DIR = "/dev/shm/tirs_r4_realistic"
+
+
+def main_realistic(cores: int, n_convs: int, n_queries: int = 32) -> None:
+    """Skip-rate payoff on STANDARD pool queries over the realistic-
+    spread corpus (VERDICT r3 next-#4): era-drifted doc lengths +
+    bursty tf give non-flat per-block bounds, and the per-block BMW
+    check (wand.score_bucket_pruned) turns them into whole-block skips.
+    Builds (and caches) the index at `n_convs` conversations (160k
+    convs ~= 1.01M turns), then reports skip rate, latency, and
+    asserts bit-identity vs the unpruned DataFrame plan."""
+    import random
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from text_indexing_and_retrieval_system_spark import engine, querygen
+    from text_indexing_and_retrieval_system_spark.operators.index_build import (
+        IndexBuildConfig,
     )
+    from text_indexing_and_retrieval_system_spark.session import (
+        get_spark,
+        warm_python_workers,
+    )
+    from text_indexing_and_retrieval_system_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    spark = get_spark(
+        app_name=f"tirs-wand-real-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark)
+    d = os.path.join(REALISTIC_DIR, f"idx_{n_convs}")
+    build_sec = None
+    if not os.path.exists(os.path.join(d, "stats.json")):
+        tdf = generate_transcripts(spark, n_convs, seed=42, spread="realistic").persist()
+        tdf.count()
+        t0 = time.time()
+        engine.build(
+            spark, tdf, d, IndexBuildConfig(n_segment_chunks=4),
+            input_desc=f"realistic-{n_convs}",
+        )
+        build_sec = round(time.time() - t0, 1)
+        tdf.unpersist()
+    idx = engine.load(spark, d)
+    lex = (
+        spark.read.parquet(os.path.join(d, "lexicon"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(3000)
+        .toPandas()
+    )
+    pools = querygen.pools_from_frequencies(
+        list(zip(lex["term"], lex["df"])),
+        querygen.PoolSpec(min_word_freq=3, high=(5, 60), mid=(61, 400), low=(401, 2800)),
+    )
+    rng = random.Random(19)
+    vocab = [
+        w
+        for key in ("H", "M", "L")
+        for w in pools[key]
+        if w.isalnum() and w.upper() not in ("AND", "OR", "NOT")
+    ]
+    qs = [
+        " OR ".join(f'"{w}"' for w in rng.sample(vocab, rng.randint(2, 4)))
+        for _ in range(n_queries)
+    ]
+
+    # bit-identity vs the unpruned DataFrame plan (full TAAT join)
+    for q in qs[:6]:
+        a = idx.search_collect(q, k=10, strategy="wand")
+        b = idx.search_collect(q, k=10, strategy="dataframe")
+        assert a.docs == b.docs and a.scores == b.scores, f"MISMATCH: {q}"
+
+    def run_pass(k):
+        lat, tot, dec = [], 0, 0
+        for q in qs:
+            t0 = time.time()
+            idx.search_collect(q, k=k, strategy="wand")
+            lat.append(time.time() - t0)
+            tot += idx.last_prune_stats["blocks_total"]
+            dec += idx.last_prune_stats["blocks_decoded"]
+        return lat, tot, dec
+
+    run_pass(10)  # cold pass: block fetch + theta fill
+    lat10, tot10, dec10 = run_pass(10)
+    lat50, tot50, dec50 = run_pass(50)
+
+    bl = (
+        idx.blocks_for(sorted(rng.sample(vocab, 24)))
+        .select("term", F.col("block_max_impact").alias("b"))
+        .toPandas()
+    )
+    ratios = [
+        float(np.percentile(g["b"], 99) / np.percentile(g["b"], 50))
+        for _, g in bl.groupby("term")
+        if len(g) >= 10
+    ]
+    out = {
+        "mode": "realistic_spread_pool_queries",
+        "cores": cores,
+        "n_turns": idx.stats["n_docs"],
+        "n_queries": n_queries,
+        "build_sec": build_sec,
+        "k10": {
+            "skip_rate": round(1 - dec10 / max(tot10, 1), 4),
+            "blocks_scanned": tot10,
+            "blocks_decoded": dec10,
+            "lat_avg_s": round(sum(lat10) / len(lat10), 4),
+        },
+        "k50": {
+            "skip_rate": round(1 - dec50 / max(tot50, 1), 4),
+            "blocks_scanned": tot50,
+            "blocks_decoded": dec50,
+            "lat_avg_s": round(sum(lat50) / len(lat50), 4),
+        },
+        "block_bound_p99_over_p50_median": round(
+            float(np.median(ratios)) if ratios else float("nan"), 3
+        ),
+        "identical_vs_dataframe": 6,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--realistic":
+        main_realistic(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 160000,
+        )
+    else:
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+        )

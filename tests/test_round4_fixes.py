@@ -166,3 +166,40 @@ def test_block_cache_lru_eviction(spark, built_index):
     b = idx.search_collect('"said" OR "index"', k=10, strategy="wand")
     assert a.docs == b.docs and a.scores == b.scores
     assert len(idx._block_cache) <= 2  # only the latest fetch survives
+
+
+def test_realistic_spread_generator_deterministic():
+    from text_indexing_and_retrieval_system_spark.sources.transcripts import (
+        generate_conversation,
+    )
+
+    a = generate_conversation(7, seed=42, spread="realistic")
+    b = generate_conversation(7, seed=42, spread="realistic")
+    assert a.equals(b)
+    u = generate_conversation(7, seed=42, spread="uniform")
+    assert list(a.columns) == list(u.columns)
+    assert not a["text"].equals(u["text"])
+    # bursty mode actually produces within-turn repeats somewhere
+    import collections
+
+    found_rep = False
+    for i in range(40):
+        conv = generate_conversation(i, seed=1, spread="realistic")
+        for t in conv["text"]:
+            c = collections.Counter(t.split())
+            if c and c.most_common(1)[0][1] >= 3:
+                found_rep = True
+                break
+        if found_rep:
+            break
+    assert found_rep
+
+
+def test_realistic_spread_distributed_matches_pandas(spark):
+    from text_indexing_and_retrieval_system_spark.sources import transcripts as tr
+
+    pdf = tr.generate_transcripts_pandas(6, seed=9, spread="realistic")
+    sdf = tr.generate_transcripts(spark, 6, seed=9, spread="realistic").toPandas()
+    sdf = sdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (sdf["text"] == pdf["text"]).all()

@@ -229,6 +229,19 @@ def score_bucket_pruned(
             lo = np.searchsorted(cands, firsts, side="left")
             hi = np.searchsorted(cands, lasts, side="right")
             keep = lo < hi  # block range contains >= 1 candidate
+            # block-max refinement (the BMW check proper): even a block
+            # WITH candidates skips when its own bound cannot lift any
+            # of them to theta — every candidate c in the block scores
+            # at most part[c] + idf*block_max + Σ remaining ubs, and a
+            # candidate appears in at most one block of this term. This
+            # is where non-flat per-block bounds (long-doc / low-tf
+            # regions) pay off; strict `<` preserves plateau ties.
+            bmax = grp["block_max_impact"].to_numpy(dtype=np.float64)
+            rem = suffix[i + 1] if i + 1 < len(order) else 0.0
+            for j in np.flatnonzero(keep):
+                seg_max = part[lo[j] : hi[j]].max()
+                if seg_max + idf_sum[term] * bmax[j] + rem < theta:
+                    keep[j] = False
         else:
             keep = np.ones(len(grp), dtype=bool)
         payloads = grp["payload"].to_numpy()
@@ -255,6 +268,22 @@ def score_bucket_pruned(
             new_part[np.searchsorted(merged, cands)] = part
             np.add.at(new_part, np.searchsorted(merged, d_all), contrib)
             cands, part = merged, new_part
+        # BMW-style candidate pruning (exact): a candidate that cannot
+        # reach theta even with every REMAINING term's maximum
+        # contribution scores strictly below k certified docs — drop it
+        # now, shrinking the overlap set later restricted terms' blocks
+        # are tested against (this is what turns restriction into actual
+        # whole-block skips: fewer candidates -> sparser overlap).
+        # `>=` keeps exact-bound candidates, so plateau ties survive;
+        # the k best PARTIALS always survive (their part >= theta), so
+        # the next iteration's theta_local is unchanged.
+        if i + 1 < len(order) and part.size > k:
+            theta_now = max(
+                np.partition(part, part.size - k)[part.size - k], theta_seed
+            )
+            keep_c = part + suffix[i + 1] >= theta_now
+            if not keep_c.all():
+                cands, part = cands[keep_c], part[keep_c]
 
     if cands.size == 0:
         return _empty_topk(), n_total, n_decoded

@@ -96,15 +96,77 @@ def _vocab(size: int = 20000, seed: int = 7):
     return _VOCAB_CACHE[key]
 
 
-def generate_conversation(conv_idx: int, seed: int = 42, vocab_size: int = 20000) -> pd.DataFrame:
-    """All turns of one conversation — pure function of (seed, conv_idx)."""
+def generate_conversation(
+    conv_idx: int,
+    seed: int = 42,
+    vocab_size: int = 20000,
+    spread: str = "uniform",
+) -> pd.DataFrame:
+    """All turns of one conversation — pure function of (seed, conv_idx).
+
+    `spread="uniform"` (default): iid Zipf word draws per turn — tf is
+    almost always 1-2 and doc lengths are narrow, which makes per-block
+    BM25 upper bounds FLAT (p99/p50 ≈ 1.09 measured) and leaves
+    block-max skipping nothing to bite on.
+
+    `spread="realistic"`: two properties of natural corpora that the
+    uniform mode lacks, both of which block-max indexes exploit:
+      1. *Bursty within-turn term repeats* — each sampled concept
+         repeats with a capped-Zipf count (the two-Poisson / burstiness
+         shape of real text) → varied tf.
+      2. *Corpus drift over ingest order* — turn length and burstiness
+         drift smoothly with conv_idx (corpora evolve over crawl/time:
+         verbose eras, terse eras). Posting blocks cover CONSECUTIVE
+         doc-id ranges, so drift is what makes per-block (max_tf,
+         min_dl) bounds genuinely non-flat at block granularity; iid
+         variation alone is flattened by the max/min over a 128-posting
+         block. Skipping payoff measured in
+         scripts/bench_wand_skiprate.py.
+    """
     vocab, probs = _vocab(vocab_size)
     rng = np.random.RandomState((seed * 1_000_003 + conv_idx) % (2**31 - 1))
     n_turns = 1 + int(rng.zipf(1.6) % 40)  # zipfian turns/conv, 1..40
     conv_id = f"conv-{conv_idx:08d}"
-    lengths = np.clip(rng.lognormal(mean=3.0, sigma=0.8, size=n_turns), 3, 400).astype(int)
+    if spread == "realistic":
+        # drift period of 60k convs >> the ~2k-conv span of one block.
+        # Anti-correlated eras: verbose eras (long docs, tight sigma, no
+        # bursts) give per-block bounds near the BM25 long-doc floor
+        # (impact ~0.6 at tf=1, dl >> avgdl); terse eras (short bursty
+        # turns) give bounds near the tf-saturated ceiling (~2.1). Both
+        # the max_tf and min_dl knobs must move TOGETHER within an era —
+        # tf saturation makes a single bursty posting cancel the
+        # long-doc discount, and one short doc cancels the min_dl rise,
+        # so iid mixing flattens the max/min over a 128-posting block.
+        phase = 2.0 * np.pi * (conv_idx % 60000) / 60000.0
+        s = np.sin(phase)
+        len_mu = 3.4 + 1.6 * s  # era avg dl ~6 .. ~150
+        burst_p = 0.30 * (0.5 - 0.5 * s) ** 2  # bursts only in terse eras
+        lengths = np.clip(
+            rng.lognormal(mean=len_mu, sigma=0.25, size=n_turns), 2, 1200
+        ).astype(int)
+    else:
+        lengths = np.clip(
+            rng.lognormal(mean=3.0, sigma=0.8, size=n_turns), 3, 400
+        ).astype(int)
     total = int(lengths.sum())
     word_idx = rng.choice(vocab_size, size=total, p=probs)
+    if spread == "realistic":
+        # bursty repeats WITHIN each turn: a burst_p-fraction of concepts
+        # repeat with a Zipf-tailed capped count, trimmed to the turn
+        # budget and shuffled — vectorized per turn, no per-word sampling
+        reps_all = np.where(
+            rng.rand(total) < burst_p,
+            np.minimum(rng.zipf(1.3, size=total), 20),
+            1,
+        )
+        bounds = np.concatenate([[0], np.cumsum(lengths)])
+        burst = np.empty(total, dtype=word_idx.dtype)
+        for i in range(n_turns):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            ln = e - s
+            rep = np.repeat(word_idx[s:e], reps_all[s:e])[:ln]
+            burst[s:e] = rep[rng.permutation(ln)]
+        word_idx = burst
     words = vocab[word_idx]
     # sprinkle punctuation/digits so char-strip matters
     deco = rng.rand(total)
@@ -137,10 +199,12 @@ def generate_conversation(conv_idx: int, seed: int = 42, vocab_size: int = 20000
     )
 
 
-def generate_transcripts_pandas(n_convs: int, seed: int = 42, vocab_size: int = 20000) -> pd.DataFrame:
+def generate_transcripts_pandas(
+    n_convs: int, seed: int = 42, vocab_size: int = 20000, spread: str = "uniform"
+) -> pd.DataFrame:
     """Driver-side generation for small fixtures/oracles."""
     return pd.concat(
-        [generate_conversation(i, seed, vocab_size) for i in range(n_convs)],
+        [generate_conversation(i, seed, vocab_size, spread) for i in range(n_convs)],
         ignore_index=True,
     )
 
@@ -151,6 +215,7 @@ def generate_transcripts(
     seed: int = 42,
     vocab_size: int = 20000,
     partitions: int | None = None,
+    spread: str = "uniform",
 ) -> "DataFrame":
     """Distributed generator: spark.range over conv ids → mapInPandas."""
     if partitions is None:
@@ -159,7 +224,7 @@ def generate_transcripts(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for conv_idx in pdf["id"].tolist():
-                yield generate_conversation(int(conv_idx), seed, vocab_size)
+                yield generate_conversation(int(conv_idx), seed, vocab_size, spread)
 
     return (
         spark.range(0, n_convs, numPartitions=partitions)
