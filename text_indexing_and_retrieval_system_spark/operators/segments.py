@@ -184,7 +184,16 @@ def build_index(
     # tokenizing from the just-written (columnar, doc_id-sorted) chunk
     # also eliminates the second full scan of the input: the raw input is
     # now read exactly once per build.
-    docs_parts_per_chunk = max(1, -(-n_store_parts // n_chunks))
+    # file/split geometry: stage 1's tokenize parallelism is bounded by
+    # the docs chunk's split count, so the write must produce enough
+    # row groups for every core to get work (measured: 2 big files per
+    # chunk packed into 1-2 scan tasks and built at 0.61 efficiency on
+    # the N=2-vs-8 pair; 8 MB row groups + a 16 MB split bin restore
+    # ~1.0). Small row groups also sharpen doc_id_int row-group pruning
+    # for hydration point-lookups on the sorted store.
+    docs_parts_per_chunk = max(
+        -(-n_store_parts // n_chunks), spark.sparkContext.defaultParallelism
+    )
     legacy_docs = man.done("stage4_docs")  # pre-round-4 flat doc store
 
     def run_chunk(chunk: int) -> None:
@@ -199,9 +208,15 @@ def build_index(
             part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
             (
                 part.select(*DOC_COLS)
-                .repartition(docs_parts_per_chunk, store_part_col)
+                # hash on doc_id_int: store_part_col has too few distinct
+                # values INSIDE one chunk to fan out. Files then cover
+                # scattered ids, but sortWithinPartitions still makes
+                # every row group a near-contiguous id quantile — the
+                # row-group min/max pruning hydration relies on is kept
+                .repartition(docs_parts_per_chunk, F.col("doc_id_int"))
                 .sortWithinPartitions("doc_id_int")
                 .write.mode("overwrite")
+                .option("parquet.block.size", str(8 << 20))
                 .parquet(chunk_docs)
             )
             man.record(unit4, conv_range=[lo, hi], seconds=time.time() - t0, **lineage)
@@ -300,24 +315,43 @@ def build_index(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    if fail_after_chunk is not None:
-        # test hook path: strictly sequential so the crash point is exact
-        for chunk in range(n_chunks):
-            run_chunk(chunk)
-            if chunk == fail_after_chunk:
-                raise RuntimeError(f"simulated crash after stage1_chunk_{chunk:03d}")
-    else:
-        # chunk pipelines are independent — run them concurrently (the
-        # Spark scheduler interleaves the jobs; manifests stay per-unit,
-        # so resume granularity is unchanged). In-flight pipelines are
-        # bounded by the session's parallelism: each pipeline keeps up to
-        # ~2 cores of mixed JVM+python work busy, so defaultParallelism/2
-        # saturates without oversubscribing (6 pipelines on a 2-core
-        # session measured 25% SLOWER than 2 — python workers of
-        # concurrent applyInPandas stages thrash each other's caches)
-        width = min(n_chunks, max(1, spark.sparkContext.defaultParallelism // 2), 4)
-        with ThreadPoolExecutor(max_workers=width) as pool:
-            list(pool.map(run_chunk, range(n_chunks)))
+    # finer scan splits for the build's own reads: the docs chunks are
+    # written with 8 MB row groups, and a 16 MB split bin stops Spark
+    # from packing them into a couple of fat tokenize tasks (the split
+    # count is stage 1's parallelism ceiling). Restored afterwards.
+    SPLIT_CONF = "spark.sql.files.maxPartitionBytes"
+    prev_split = spark.conf.get(SPLIT_CONF, None)
+    spark.conf.set(SPLIT_CONF, str(16 << 20))
+    try:
+        if fail_after_chunk is not None:
+            # test hook path: strictly sequential so the crash point is
+            # exact
+            for chunk in range(n_chunks):
+                run_chunk(chunk)
+                if chunk == fail_after_chunk:
+                    raise RuntimeError(
+                        f"simulated crash after stage1_chunk_{chunk:03d}"
+                    )
+        else:
+            # chunk pipelines are independent — run them concurrently
+            # (the Spark scheduler interleaves the jobs; manifests stay
+            # per-unit, so resume granularity is unchanged). In-flight
+            # pipelines are bounded by the session's parallelism: each
+            # pipeline keeps up to ~2 cores of mixed JVM+python work
+            # busy, so defaultParallelism/2 saturates without
+            # oversubscribing (6 pipelines on a 2-core session measured
+            # 25% SLOWER than 2 — python workers of concurrent
+            # applyInPandas stages thrash each other's caches)
+            width = min(
+                n_chunks, max(1, spark.sparkContext.defaultParallelism // 2), 4
+            )
+            with ThreadPoolExecutor(max_workers=width) as pool:
+                list(pool.map(run_chunk, range(n_chunks)))
+    finally:
+        if prev_split is None:
+            spark.conf.unset(SPLIT_CONF)
+        else:
+            spark.conf.set(SPLIT_CONF, prev_split)
 
     # ---------------- stats fold + global lexicon ----------------
     n_docs = 0

@@ -170,6 +170,13 @@ class IcebergProvider(TableProvider):
     (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog);
     this sandbox ships no Iceberg jar, so construction fails with a
     clear error — the class documents the exact mapping the seam needs.
+
+    Vendoring attempt (round 4, 2026-08-17): no iceberg jar anywhere on
+    the box (`find / -name '*iceberg*'` — only this repo's tests) and
+    Maven Central is unreachable (curl rc=6, DNS resolution fails — the
+    sandbox has no outbound network), so the real-runtime contract run
+    remains impossible here; `tests/test_provider_iceberg.py` covers
+    the provider contract against the fake catalog instead.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
