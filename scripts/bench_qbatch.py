@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGE = "/dev/shm/tirs_phase_stage"
+STAGE = os.environ.get("TIRS_STAGE", "/dev/shm/tirs_phase_stage")
 
 
 def worker(cores: int, n_queries: int) -> None:

@@ -414,6 +414,39 @@ def build_index(
             **lineage,
         )
 
+    # ---------------- stage 5: two-level merge (compaction) ----------------
+    # Per-chunk posting segments are the BUILD-side layout (pipelining);
+    # queries prefer one term-sorted file set per bucket: 6 chunks meant
+    # 6x the files/footers/row-group runs per term (measured 15-35%
+    # slower 1024-query batches at 4.84M turns). The merge is a single
+    # scalable shuffle+write; same columns, same blocks — blocks from
+    # different chunks cover disjoint doc ranges and coexist unchanged.
+    if cfg.compact and not man.done("stage5_compact"):
+        t0 = time.time()
+        merged_tmp = postings_path + "_compact"
+        if not os.path.isdir(postings_path) and os.path.isdir(merged_tmp):
+            # crash recovery: previous run finished the write and removed
+            # the chunked dir but died before the rename
+            os.rename(merged_tmp, postings_path)
+        else:
+            blocks_all = spark.read.parquet(postings_path)
+            if "chunk" in blocks_all.columns:
+                blocks_all = blocks_all.drop("chunk")
+            sub_col = term_bucket_col(F.col("term"), cfg.n_term_buckets * 4)
+            (
+                blocks_all.repartition(cfg.n_term_buckets * 4, sub_col)
+                .sortWithinPartitions("term", "first_doc")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(1 << 20))
+                .partitionBy("bucket")
+                .parquet(merged_tmp)
+            )
+            import shutil as _shutil
+
+            _shutil.rmtree(postings_path)
+            os.rename(merged_tmp, postings_path)
+        man.record("stage5_compact", seconds=time.time() - t0, **lineage)
+
     man.record(
         "build",
         seconds_total=time.time() - t_build0,
