@@ -203,3 +203,44 @@ def test_realistic_spread_distributed_matches_pandas(spark):
     sdf = sdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert (sdf["text"] == pdf["text"]).all()
+
+
+def test_compaction_merges_chunked_postings(spark, corpus_df, tmp_path):
+    """stage 5: per-chunk posting segments merge into one file set per
+    bucket; query results identical; resumable + crash-recoverable."""
+    import glob
+    import shutil
+
+    d_nc = str(tmp_path / "nocompact")
+    d_c = str(tmp_path / "compact")
+    cfg_nc = IndexBuildConfig(
+        n_term_buckets=4, n_range_buckets=4, n_segment_chunks=2, compact=False
+    )
+    cfg_c = IndexBuildConfig(
+        n_term_buckets=4, n_range_buckets=4, n_segment_chunks=2, compact=True
+    )
+    a = engine.build(spark, corpus_df, d_nc, cfg_nc, input_desc="nc")
+    b = engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")
+    # chunked layout has chunk= dirs; compacted does not
+    assert glob.glob(os.path.join(d_nc, "postings", "chunk=*"))
+    assert not glob.glob(os.path.join(d_c, "postings", "chunk=*"))
+    assert glob.glob(os.path.join(d_c, "postings", "bucket=*"))
+    n_nc = len(glob.glob(os.path.join(d_nc, "postings", "**", "*.parquet"),
+                         recursive=True))
+    n_c = len(glob.glob(os.path.join(d_c, "postings", "**", "*.parquet"),
+                        recursive=True))
+    assert n_c < n_nc
+    for q in ['"said" OR "index"', '"said" AND NOT "index"', 'PHRASE "it said"']:
+        ra = a.search_collect(q, k=20)
+        rb = b.search_collect(q, k=20)
+        assert ra.docs == rb.docs and ra.scores == rb.scores, q
+    # crash recovery: simulate death between rmtree and rename
+    post = os.path.join(d_c, "postings")
+    os.rename(post, post + "_compact")
+    os.remove(os.path.join(d_c, "_manifests", "stage5_compact.json"))
+    os.remove(os.path.join(d_c, "_manifests", "build.json"))
+    engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")
+    assert os.path.isdir(post) and not os.path.isdir(post + "_compact")
+    rb2 = engine.InvertedIndex(spark, d_c).search_collect('"said" OR "index"', k=20)
+    ra2 = a.search_collect('"said" OR "index"', k=20)
+    assert rb2.docs == ra2.docs and rb2.scores == ra2.scores
