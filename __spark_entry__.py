@@ -25,6 +25,7 @@ from text_indexing_and_retrieval_system_spark.functions import textstats
 from text_indexing_and_retrieval_system_spark.operators import (
     dedup,
     docquery,
+    multimodal,
     similarity,
 )
 
@@ -140,6 +141,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_lsh_multiprobe"] = lambda s, d: similarity.ann_topk_lsh(
         _emb(s, d), 0, dim=64, k=10, n_planes=8, multiprobe=1
     )
+
+    # ---- multimodal decode (round 4: REAL PPM/WAV codec kernels) ----
+    # documents -> deterministic PPM/WAV payloads via the real encoders
+    # -> decode + feature-extract inside one Arrow kernel; the emitted
+    # payload sizes have a closed-form SQL oracle (see
+    # multimodal.media_from_documents docstring)
+    def _mm(s, d):
+        from pyspark.sql import functions as F
+
+        media = multimodal.media_from_documents(_docs(s, d))
+        return multimodal.extract_features(media, fake=False).select(
+            "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
+        )
+
+    q["multimodal_features"] = _mm
+
+    # ---- Snowball (Porter2) stemming distributed over the corpus ----
+    # no SQL oracle exists offline (DuckDB's fts/stem extension cannot
+    # be downloaded in this sandbox) -> rows-only driver gate; the
+    # algorithm itself is spec-example-tested in tests/test_porter2.py
+    def _snowball(s, d):
+        from pyspark.sql import functions as F
+
+        from text_indexing_and_retrieval_system_spark.functions.normalize import (
+            NormalizeConfig,
+            normalize_to_tokens,
+        )
+
+        cfg = NormalizeConfig(stemming="snowball", stopword_languages=())
+        docs = _docs(s, d).select("doc_id", "text")
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                toks = normalize_to_tokens(pdf["text"], cfg)
+                out = pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "stem": toks}
+                ).explode("stem")
+                yield out.dropna()
+
+        stems = docs.mapInPandas(run, schema="doc_id long, stem string")
+        return (
+            stems.groupBy("stem")
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("stem"))
+            .limit(50)
+        )
+
+    q["stem_snowball_top50"] = _snowball
 
     # ---- relational operators on the TPC-H-ish tables (scan/join/agg/topk) ----
     q["pricing_summary"] = _pricing_summary
@@ -287,6 +338,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh_multiprobe": similarity.sql_ann_topk_lsh(
             0, dim=64, k=10, n_planes=8, multiprobe=1
         ),
+        # payload-size closed form: PPM = 11-byte header + 48 pixel
+        # bytes; WAV = 44-byte RIFF header + 2*max(min(bytes,192)//2, 8)
+        # ("stem_snowball_top50" deliberately has NO oracle: DuckDB's
+        # fts/stem extension is not downloadable offline -> rows-only)
+        "multimodal_features": """
+select doc_id as media_id,
+       case when doc_id % 2 = 0 then 'image' else 'audio' end as kind,
+       case when doc_id % 2 = 0 then 59
+            else 44 + 2 * greatest(least(octet_length(encode(coalesce(text, ''))), 192) // 2, 8)
+       end as n_bytes
+from documents
+""",
         "pricing_summary": """
 select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
        round(sum(l_extendedprice), 2) as sum_base_price,

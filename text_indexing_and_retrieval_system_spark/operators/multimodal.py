@@ -281,6 +281,46 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA_DDL)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from a text corpus: each doc's
+    bytes become a tiny P6 PPM image (even doc_id) or a PCM WAV clip
+    (odd doc_id) via the REAL encoders — a fixtureless end-to-end drive
+    of the codec kernels over a real table, usable as a driver-gate
+    query (the payload sizes have a closed-form SQL oracle:
+    image = 11-byte header + 48 pixel bytes; audio = 44-byte RIFF
+    header + 2*max(min(len(bytes),192)//2, 8) sample bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                b = text.encode("utf-8")[:192]
+                if int(doc_id) % 2 == 0:
+                    px = np.frombuffer(
+                        b[:48].ljust(48, b"\0"), dtype=np.uint8
+                    ).reshape(4, 4, 3)
+                    payloads.append(make_ppm(px))
+                    kinds.append("image")
+                else:
+                    n = max(len(b) // 2, 8)
+                    samp = np.frombuffer(
+                        b[: n * 2].ljust(n * 2, b"\0"), dtype="<i2"
+                    )
+                    payloads.append(make_wav(samp, 8000))
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="media_id long, kind string, payload binary"
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """media → (media_id, kind, n_bytes, feature[FEATURE_DIM]) via ONE
     mapInPandas pass (Arrow batches of binary payloads). BMP/PPM/WAV
