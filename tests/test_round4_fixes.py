@@ -234,13 +234,54 @@ def test_compaction_merges_chunked_postings(spark, corpus_df, tmp_path):
         ra = a.search_collect(q, k=20)
         rb = b.search_collect(q, k=20)
         assert ra.docs == rb.docs and ra.scores == rb.scores, q
-    # crash recovery: simulate death between rmtree and rename
+    # crash recovery under the rename-first swap protocol (write tmp ->
+    # rename postings->old -> rename tmp->postings -> rmtree old); each
+    # scenario is a state the protocol can actually die in
     post = os.path.join(d_c, "postings")
-    os.rename(post, post + "_compact")
-    os.remove(os.path.join(d_c, "_manifests", "stage5_compact.json"))
-    os.remove(os.path.join(d_c, "_manifests", "build.json"))
+    old = post + "_old"
+    tmp = post + "_compact"
+
+    def _uncommit():
+        os.remove(os.path.join(d_c, "_manifests", "stage5_compact.json"))
+        os.remove(os.path.join(d_c, "_manifests", "build.json"))
+
+    def _check(label):
+        assert os.path.isdir(post), label
+        assert not os.path.isdir(old) and not os.path.isdir(tmp), label
+        rb2 = engine.InvertedIndex(spark, d_c).search_collect(
+            '"said" OR "index"', k=20
+        )
+        ra2 = a.search_collect('"said" OR "index"', k=20)
+        assert rb2.docs == ra2.docs and rb2.scores == ra2.scores, label
+
+    # (1) died between the two renames: old complete, tmp complete,
+    # postings missing
+    os.rename(post, tmp)  # tmp == the completed merge output
+    shutil.copytree(tmp, old)  # old == the pre-merge source
+    _uncommit()
     engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")
-    assert os.path.isdir(post) and not os.path.isdir(post + "_compact")
-    rb2 = engine.InvertedIndex(spark, d_c).search_collect('"said" OR "index"', k=20)
-    ra2 = a.search_collect('"said" OR "index"', k=20)
-    assert rb2.docs == ra2.docs and rb2.scores == ra2.scores
+    _check("between renames")
+
+    # (2) died after both renames but before rmtree(old)
+    shutil.copytree(post, old)
+    _uncommit()
+    engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")
+    _check("before rmtree old")
+
+    # (3) died MID-rmtree(old): old exists but is partially deleted —
+    # the advisor's scenario; recovery must never read it as a source
+    shutil.copytree(post, old)
+    for leaf in sorted(d for d in os.listdir(old) if d.startswith("bucket="))[:1]:
+        shutil.rmtree(os.path.join(old, leaf))
+    _uncommit()
+    engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")
+    _check("mid rmtree old")
+
+    # (4) died mid-merge-write: tmp partial, postings intact, no old —
+    # the partial tmp must be discarded and the merge redone
+    shutil.copytree(post, tmp)
+    for leaf in sorted(d for d in os.listdir(tmp) if d.startswith("bucket="))[:1]:
+        shutil.rmtree(os.path.join(tmp, leaf))
+    _uncommit()
+    engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")
+    _check("partial tmp")

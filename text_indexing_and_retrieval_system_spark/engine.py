@@ -267,6 +267,19 @@ class InvertedIndex:
     DRIVER_NOT_MAX_DOCS = 2_000_000  # NOT complement needs the universe
     CONVMAP_DRIVER_CACHE_MAX = 5_000_000  # convs
 
+    @staticmethod
+    def _frame_bytes(g: pd.DataFrame) -> int:
+        """LRU budget charge for one cached block frame: payload PLUS
+        pos_payload when present — position blobs are typically several
+        times the doc/tf payload, so counting payload alone let
+        phrase-heavy workloads overshoot BLOCK_CACHE_MAX_BYTES."""
+        if not len(g):
+            return 0
+        n = int(g["payload"].map(len).sum())
+        if "pos_payload" in g.columns:
+            n += int(g["pos_payload"].map(len).sum())
+        return n
+
     def lexicon_for(self, tokens: list[str]) -> pd.DataFrame:
         """Pruned lexicon lookup with a per-instance driver cache
         (vocabulary is Zipfian — repeated query terms hit the cache;
@@ -695,8 +708,7 @@ class InvertedIndex:
             for t in missing:
                 g = groups.get(t, empty)
                 self._block_cache[(t, with_positions)] = g
-                if len(g):
-                    self._block_cache_bytes += int(g["payload"].map(len).sum())
+                self._block_cache_bytes += self._frame_bytes(g)
         frames = []
         for key in keys:
             g = self._block_cache[key]
@@ -711,8 +723,7 @@ class InvertedIndex:
             and self._block_cache
         ):
             _, old = self._block_cache.popitem(last=False)
-            if len(old):
-                self._block_cache_bytes -= int(old["payload"].map(len).sum())
+            self._block_cache_bytes -= self._frame_bytes(old)
         if not frames:
             return None
         return pd.concat(frames, ignore_index=True)

@@ -195,6 +195,22 @@ def build_index(
         -(-n_store_parts // n_chunks), spark.sparkContext.defaultParallelism
     )
     legacy_docs = man.done("stage4_docs")  # pre-round-4 flat doc store
+    if not legacy_docs and os.path.isdir(docs_path):
+        # A pre-round-4 build that crashed MID-stage-4 leaves flat
+        # part-*.parquet files at docs/ root with no manifest; writing
+        # docs/chunk=<i>/ beside them would mix leaf depths and break
+        # Spark partition discovery. No manifest means the flat write
+        # never committed — remove the strays before the first chunk.
+        import shutil as _shutil
+
+        for entry in os.listdir(docs_path):
+            if entry.startswith("chunk="):
+                continue
+            full = os.path.join(docs_path, entry)
+            if os.path.isdir(full):
+                _shutil.rmtree(full)
+            else:
+                os.remove(full)
 
     def run_chunk(chunk: int) -> None:
         chunk_seg = os.path.join(seg_root, f"chunk={chunk}")
@@ -421,14 +437,39 @@ def build_index(
     # slower 1024-query batches at 4.84M turns). The merge is a single
     # scalable shuffle+write; same columns, same blocks — blocks from
     # different chunks cover disjoint doc ranges and coexist unchanged.
-    if cfg.compact and not man.done("stage5_compact"):
+    # Skipped entirely for single-chunk builds: with one chunk the layout
+    # is already one term-sorted file set per bucket (under chunk=0/), so
+    # the merge would only strip a partition level the readers already
+    # handle — pure cost at small scale.
+    if cfg.compact and n_chunks > 1 and not man.done("stage5_compact"):
         t0 = time.time()
         merged_tmp = postings_path + "_compact"
-        if not os.path.isdir(postings_path) and os.path.isdir(merged_tmp):
-            # crash recovery: previous run finished the write and removed
-            # the chunked dir but died before the rename
-            os.rename(merged_tmp, postings_path)
+        old_path = postings_path + "_old"
+        # Crash-atomic swap: rename FIRST, delete LAST, and key recovery
+        # on the presence of postings_old (renames are atomic; rmtree is
+        # not — a half-deleted postings dir must never be re-read as a
+        # compaction source).
+        if os.path.isdir(old_path):
+            # a previous run completed the merge write (the rename away
+            # from postings_path only ever happens after the write
+            # finished) and died somewhere in the swap — finish it
+            if not os.path.isdir(postings_path):
+                if os.path.isdir(merged_tmp):
+                    os.rename(merged_tmp, postings_path)
+                else:  # pragma: no cover - impossible under this protocol
+                    os.rename(old_path, postings_path)
+            if os.path.isdir(old_path) and os.path.isdir(postings_path):
+                import shutil as _shutil
+
+                _shutil.rmtree(old_path)
         else:
+            import shutil as _shutil
+
+            if os.path.isdir(merged_tmp):
+                # no postings_old -> the merge write never committed its
+                # swap; the tmp dir may be partial, so redo it from the
+                # (still intact) chunked source
+                _shutil.rmtree(merged_tmp)
             blocks_all = spark.read.parquet(postings_path)
             if "chunk" in blocks_all.columns:
                 blocks_all = blocks_all.drop("chunk")
@@ -441,10 +482,9 @@ def build_index(
                 .partitionBy("bucket")
                 .parquet(merged_tmp)
             )
-            import shutil as _shutil
-
-            _shutil.rmtree(postings_path)
+            os.rename(postings_path, old_path)
             os.rename(merged_tmp, postings_path)
+            _shutil.rmtree(old_path)
         man.record("stage5_compact", seconds=time.time() - t0, **lineage)
 
     man.record(

@@ -108,6 +108,11 @@ class ParquetDirProvider(TableProvider):
         w.parquet(self.location(table))
 
     def append(self, df, table):
+        if df.isEmpty():
+            # the common replay case (everything anti-joined away): a
+            # write here would accumulate one empty partition dir per
+            # replay and pollute partition discovery
+            return
         loc = self.location(table)
         if os.path.isdir(loc):
             # hive-partitioned layout (e.g. docs/chunk=<i>/ from the
@@ -121,11 +126,21 @@ class ParquetDirProvider(TableProvider):
             ]
             if parts:
                 key = parts[0].split("=", 1)[0]
-                n = len(parts)
-                sub = os.path.join(loc, f"{key}=append_{n:06d}")
+                # keep the inferred partition-column type numeric: build
+                # chunks are chunk=<int>, so the append dir must be an
+                # int too (a string like append_000001 silently flips
+                # the discovered column to string for every reader)
+                nums = []
+                for d in parts:
+                    try:
+                        nums.append(int(d.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+                n = (max(nums) + 1) if nums else len(parts)
+                sub = os.path.join(loc, f"{key}={n}")
                 while os.path.isdir(sub):
                     n += 1
-                    sub = os.path.join(loc, f"{key}=append_{n:06d}")
+                    sub = os.path.join(loc, f"{key}={n}")
                 df.write.mode("overwrite").parquet(sub)
                 return
         df.write.mode("append").parquet(loc)
