@@ -158,9 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = _mm
 
     # ---- Snowball (Porter2) stemming distributed over the corpus ----
-    # no SQL oracle exists offline (DuckDB's fts/stem extension cannot
-    # be downloaded in this sandbox) -> rows-only driver gate; the
-    # algorithm itself is spec-example-tested in tests/test_porter2.py
+    # oracled against a vendored hand-derived (spec-on-paper) term->stem
+    # fixture via DuckDB read_csv — see oracle_sql() and
+    # tests/test_porter2_fixture.py; the algorithm itself is also
+    # spec-example-tested in tests/test_porter2.py
     def _snowball(s, d):
         from pyspark.sql import functions as F
 
@@ -338,10 +339,26 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh_multiprobe": similarity.sql_ann_topk_lsh(
             0, dim=64, k=10, n_planes=8, multiprobe=1
         ),
+        # DuckDB has no offline stem() (fts extension is not
+        # downloadable here), so the oracle joins the corpus tokens
+        # against a vendored term->stem fixture whose 31 rows were
+        # derived BY HAND from the published Porter2 spec (independent
+        # of this repo's implementation — see tests/test_porter2_fixture
+        # .py for the per-word derivations and the full-vocab coverage
+        # guard). Unknown tokens fall back to identity, which would
+        # hash-MISMATCH against the stemmed Spark side — an alert, not a
+        # silent pass — if the testdata vocabulary ever grows.
+        "stem_snowball_top50": f"""
+with toks as ({docquery.SQL_TOKS}),
+m as (select * from read_csv('{os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "porter2_vocab_stems.csv")}',
+                             header=true,
+                             columns={{'term': 'varchar', 'stem': 'varchar'}}))
+select coalesce(m.stem, toks.term) as stem, count(*) as freq
+from toks left join m on toks.term = m.term
+group by 1 order by freq desc, stem asc limit 50
+""",
         # payload-size closed form: PPM = 11-byte header + 48 pixel
         # bytes; WAV = 44-byte RIFF header + 2*max(min(bytes,192)//2, 8)
-        # ("stem_snowball_top50" deliberately has NO oracle: DuckDB's
-        # fts/stem extension is not downloadable offline -> rows-only)
         "multimodal_features": """
 select doc_id as media_id,
        case when doc_id % 2 = 0 then 'image' else 'audio' end as kind,
