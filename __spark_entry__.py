@@ -157,41 +157,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = _mm
 
-    # ---- Snowball (Porter2) stemming distributed over the corpus ----
-    # oracled against a vendored hand-derived (spec-on-paper) term->stem
-    # fixture via DuckDB read_csv — see oracle_sql() and
-    # tests/test_porter2_fixture.py; the algorithm itself is also
-    # spec-example-tested in tests/test_porter2.py
-    def _snowball(s, d):
-        from pyspark.sql import functions as F
+    # ---- stemming distributed over the corpus (Snowball + Lancaster) ----
+    # both oracled against vendored hand-derived (spec-on-paper)
+    # term->stem fixtures via DuckDB read_csv — see oracle_sql(),
+    # tests/test_porter2_fixture.py and tests/test_lancaster.py; the
+    # algorithms themselves are also spec-example-tested there
+    def _stem_top50(algo: str):
+        def run_query(s, d):
+            from pyspark.sql import functions as F
 
-        from text_indexing_and_retrieval_system_spark.functions.normalize import (
-            NormalizeConfig,
-            normalize_to_tokens,
-        )
+            from text_indexing_and_retrieval_system_spark.functions.normalize import (
+                NormalizeConfig,
+                normalize_to_tokens,
+            )
 
-        cfg = NormalizeConfig(stemming="snowball", stopword_languages=())
-        docs = _docs(s, d).select("doc_id", "text")
+            cfg = NormalizeConfig(stemming=algo, stopword_languages=())
+            docs = _docs(s, d).select("doc_id", "text")
 
-        def run(batches):
-            import pandas as pd
+            def run(batches):
+                import pandas as pd
 
-            for pdf in batches:
-                toks = normalize_to_tokens(pdf["text"], cfg)
-                out = pd.DataFrame(
-                    {"doc_id": pdf["doc_id"], "stem": toks}
-                ).explode("stem")
-                yield out.dropna()
+                for pdf in batches:
+                    toks = normalize_to_tokens(pdf["text"], cfg)
+                    out = pd.DataFrame(
+                        {"doc_id": pdf["doc_id"], "stem": toks}
+                    ).explode("stem")
+                    yield out.dropna()
 
-        stems = docs.mapInPandas(run, schema="doc_id long, stem string")
-        return (
-            stems.groupBy("stem")
-            .agg(F.count("*").alias("freq"))
-            .orderBy(F.desc("freq"), F.asc("stem"))
-            .limit(50)
-        )
+            stems = docs.mapInPandas(run, schema="doc_id long, stem string")
+            return (
+                stems.groupBy("stem")
+                .agg(F.count("*").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("stem"))
+                .limit(50)
+            )
 
-    q["stem_snowball_top50"] = _snowball
+        return run_query
+
+    q["stem_snowball_top50"] = _stem_top50("snowball")
+    q["stem_lancaster_top50"] = _stem_top50("lancaster")
 
     # ---- relational operators on the TPC-H-ish tables (scan/join/agg/topk) ----
     q["pricing_summary"] = _pricing_summary
@@ -305,6 +309,20 @@ from per_sess group by user_id order by user_id
 """
 
 
+def _stem_oracle(fixture_csv: str) -> str:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", fixture_csv
+    )
+    return f"""
+with toks as ({docquery.SQL_TOKS}),
+m as (select * from read_csv('{path}', header=true,
+                             columns={{'term': 'varchar', 'stem': 'varchar'}}))
+select coalesce(m.stem, toks.term) as stem, count(*) as freq
+from toks left join m on toks.term = m.term
+group by 1 order by freq desc, stem asc limit 50
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_postings": docquery.sql_term_postings("merge"),
@@ -340,23 +358,17 @@ def oracle_sql() -> dict[str, str]:
             0, dim=64, k=10, n_planes=8, multiprobe=1
         ),
         # DuckDB has no offline stem() (fts extension is not
-        # downloadable here), so the oracle joins the corpus tokens
-        # against a vendored term->stem fixture whose 31 rows were
-        # derived BY HAND from the published Porter2 spec (independent
-        # of this repo's implementation — see tests/test_porter2_fixture
-        # .py for the per-word derivations and the full-vocab coverage
-        # guard). Unknown tokens fall back to identity, which would
-        # hash-MISMATCH against the stemmed Spark side — an alert, not a
-        # silent pass — if the testdata vocabulary ever grows.
-        "stem_snowball_top50": f"""
-with toks as ({docquery.SQL_TOKS}),
-m as (select * from read_csv('{os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "porter2_vocab_stems.csv")}',
-                             header=true,
-                             columns={{'term': 'varchar', 'stem': 'varchar'}}))
-select coalesce(m.stem, toks.term) as stem, count(*) as freq
-from toks left join m on toks.term = m.term
-group by 1 order by freq desc, stem asc limit 50
-""",
+        # downloadable here), so these oracles join the corpus tokens
+        # against vendored term->stem fixtures whose rows were derived
+        # BY HAND from the published algorithms (independent of this
+        # repo's implementations — see tests/test_porter2_fixture.py and
+        # tests/test_lancaster.py for the per-word derivations and the
+        # full-vocab coverage guards). Unknown tokens fall back to
+        # identity, which would hash-MISMATCH against the stemmed Spark
+        # side — an alert, not a silent pass — if the testdata
+        # vocabulary ever grows.
+        "stem_snowball_top50": _stem_oracle("porter2_vocab_stems.csv"),
+        "stem_lancaster_top50": _stem_oracle("lancaster_vocab_stems.csv"),
         # payload-size closed form: PPM = 11-byte header + 48 pixel
         # bytes; WAV = 44-byte RIFF header + 2*max(min(bytes,192)//2, 8)
         "multimodal_features": """

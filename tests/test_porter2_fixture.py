@@ -51,8 +51,7 @@ def _fixture_rows() -> dict[str, str]:
         return {r["term"]: r["stem"] for r in csv.DictReader(f)}
 
 
-def test_fixture_covers_full_testdata_vocabulary():
-    rows = _fixture_rows()
+def test_fixtures_cover_full_testdata_vocabulary():
     cfg = NormalizeConfig(stemming=None, stopword_languages=())
     vocab: set[str] = set()
     for sf in ("0.001", "0.01", "0.1"):
@@ -63,8 +62,11 @@ def test_fixture_covers_full_testdata_vocabulary():
         for toks in normalize_to_tokens(texts, cfg):
             vocab.update(toks)
     assert vocab, "no testdata found"
-    missing = vocab - set(rows)
-    assert not missing, f"fixture must cover the corpus vocabulary: {missing}"
+    for fixture in (FIXTURE, FIXTURE.replace("porter2_", "lancaster_")):
+        with open(fixture, newline="") as f:
+            rows = {r["term"]: r["stem"] for r in csv.DictReader(f)}
+        missing = vocab - set(rows)
+        assert not missing, f"{fixture} must cover the corpus vocabulary: {missing}"
 
 
 def test_implementation_matches_hand_derived_stems():

@@ -50,8 +50,8 @@ class NormalizeConfig:
     remove_numbers: bool = True
     remove_special_characters: bool = True
     stopword_languages: tuple[str, ...] = ("english",)
-    stemming: str | None = "porter"  # porter | snowball/porter2 | None
-    lemmatization: str | None = None  # None only (wordnet unavailable)
+    stemming: str | None = "porter"  # porter | snowball/porter2 | lancaster | None
+    lemmatization: str | None = None  # None | morphy (wordnet needs corpus)
 
     def strip_pattern(self) -> str | None:
         parts = []
@@ -66,19 +66,26 @@ DEFAULT_CONFIG = NormalizeConfig()
 
 _stemmer = MemoStemmer()
 
+from .lancaster import MemoLancaster  # noqa: E402
 from .porter2 import MemoPorter2  # noqa: E402  (shares the module cache)
 
 _stemmer2 = MemoPorter2()
+_stemmer_lanc = MemoLancaster()
+
+from .morphy import MemoMorphy  # noqa: E402
+
+_lemmatizer = MemoMorphy()
 
 
 def normalize_to_tokens(texts: pd.Series, cfg: NormalizeConfig = DEFAULT_CONFIG) -> pd.Series:
     """Series[str] -> Series[list[str]] of normalized tokens (positions =
     list index). Vectorized; the only Python loop is memoized stemming
     over the batch's unique tokens."""
-    if cfg.lemmatization is not None:
+    if cfg.lemmatization not in (None, "morphy"):
         raise NotImplementedError(
             "lemmatization=wordnet needs a WordNet corpus (unavailable in "
-            "this environment); reference default is null (config.yaml:17)"
+            "this environment); use 'morphy' for the documented rule "
+            "approximation; reference default is null (config.yaml:17)"
         )
     s = texts.fillna("")
     if cfg.lowercase:
@@ -111,12 +118,22 @@ def normalize_to_tokens(texts: pd.Series, cfg: NormalizeConfig = DEFAULT_CONFIG)
         uniq = pd.unique(exploded)
         mapping = dict(zip(uniq, _stemmer2.stem_many(uniq)))
         exploded = exploded.map(mapping)
+    elif cfg.stemming == "lancaster":
+        uniq = pd.unique(exploded)
+        mapping = dict(zip(uniq, _stemmer_lanc.stem_many(uniq)))
+        exploded = exploded.map(mapping)
     elif cfg.stemming is not None:
         raise NotImplementedError(
             f"stemming algorithm {cfg.stemming!r} not available "
-            "(porter/snowball; reference also offers lancaster via NLTK — "
-            "its Paice/Husk rule table is not vendored here)"
+            "(porter | snowball/porter2 | lancaster)"
         )
+
+    if cfg.lemmatization == "morphy":
+        # reference order is stem THEN lemmatize when both are on
+        # (preprocessor.py applies them as successive pipeline steps)
+        uniq = pd.unique(exploded)
+        mapping = dict(zip(uniq, _lemmatizer.lemmatize_many(uniq)))
+        exploded = exploded.map(mapping)
 
     regrouped = exploded.groupby(level=0).agg(list)
     out = pd.Series([[] for _ in range(len(texts))], index=texts.index, dtype=object)
