@@ -56,5 +56,5 @@ def built_index(spark, corpus_df, tmp_path_factory):
     )
 
     index_dir = str(tmp_path_factory.mktemp("index") / "small")
-    cfg = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2)
+    cfg = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2, chunk_min_convs=0)
     return engine.build(spark, corpus_df, index_dir, cfg, input_desc="conftest-small")

@@ -25,7 +25,7 @@ def _doclen_map(spark, index_dir):
 
 def test_crash_resume_identical(spark, corpus_df, built_index, tmp_path):
     crash_dir = str(tmp_path / "crash_idx")
-    cfg = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=3)
+    cfg = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=3, chunk_min_convs=0)
 
     with pytest.raises(RuntimeError, match="simulated crash"):
         engine.build(

@@ -14,7 +14,7 @@ from text_indexing_and_retrieval_system_spark.operators.index_build import (
 )
 from text_indexing_and_retrieval_system_spark.streaming import incremental as inc
 
-CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2)
+CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2, chunk_min_convs=0)
 
 
 def test_kernel_strategy_respects_scorer(built_index):

@@ -23,7 +23,7 @@ from text_indexing_and_retrieval_system_spark.functions.normalize import (
 )
 from text_indexing_and_retrieval_system_spark.streaming import incremental as inc
 
-CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2)
+CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2, chunk_min_convs=0)
 
 
 def test_in_list_escapes_backslash(built_index):

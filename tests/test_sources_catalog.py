@@ -52,7 +52,7 @@ def test_read_zipped_json_docs(spark, tmp_path):
 
 def test_catalog_crud(spark, corpus_df, tmp_path):
     storage = str(tmp_path / "storage")
-    cfg = IndexBuildConfig(n_segment_chunks=2)
+    cfg = IndexBuildConfig(n_segment_chunks=2, chunk_min_convs=0)
     small = corpus_df.filter(corpus_df.conv_id < "conv-00000010")
     engine.build(spark, small, os.path.join(storage, "idx_a"), cfg, input_desc="a")
     assert catalog.list_indices(storage) == ["idx_a"]
@@ -77,7 +77,7 @@ def test_incremental_add_and_delete(spark, corpus_df, tmp_path):
 
     storage = str(tmp_path / "upd")
     idx_dir = os.path.join(storage, "u1")
-    cfg = IndexBuildConfig(n_segment_chunks=2)
+    cfg = IndexBuildConfig(n_segment_chunks=2, chunk_min_convs=0)
     first = corpus_df.filter(corpus_df.conv_id < "conv-00000040")
     rest = corpus_df.filter(
         (corpus_df.conv_id >= "conv-00000040") & (corpus_df.conv_id < "conv-00000050")

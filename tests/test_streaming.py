@@ -16,7 +16,7 @@ from text_indexing_and_retrieval_system_spark.sources.transcripts import (
 )
 from text_indexing_and_retrieval_system_spark.streaming import incremental as inc
 
-CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2)
+CFG = IndexBuildConfig(n_term_buckets=8, n_range_buckets=8, n_segment_chunks=2, chunk_min_convs=0)
 
 
 @pytest.fixture(scope="module")

@@ -59,6 +59,13 @@ class IndexBuildConfig:
     n_range_buckets: int = 32
     store_positions: bool = True
     n_segment_chunks: int = 4  # resumable stage-1 granularity
+    # scale-aware clamp: chunked pipelining + compaction pay off above
+    # ~10^5 convs (resume granularity, bounded shuffle state); below
+    # chunk_min_convs the build runs as ONE chunk and skips compaction
+    # (the single-chunk layout is already one file set per bucket),
+    # saving ~2 s of per-job constants at sf0.1. Set 0 to force the
+    # configured chunk count at any size (tests do).
+    chunk_min_convs: int = 32_000
     # two-level merge (north_star): chunk pipelines write per-chunk
     # posting segments for build pipelining; a final compaction merges
     # them into ONE term-sorted file set per bucket — measured 6x fewer

@@ -162,6 +162,10 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     docs_path = os.path.join(index_dir, "docs")
     n_chunks = cfg.n_segment_chunks
+    if n_convs < cfg.chunk_min_convs:
+        # deterministic for a given input (n_convs comes from stage 0),
+        # so resumes re-derive the same chunk geometry
+        n_chunks = 1
 
     # ---------------- stages 1-4: per-chunk pipelines ----------------
     # Chunks are contiguous conversation ranges, so their doc-id sets are
