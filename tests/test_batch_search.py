@@ -56,3 +56,30 @@ def test_batch_duplicate_queries(built_index, oracle_index):
     want = oracle_index.search(q, k=10, scorer="bm25")
     assert out[q].docs == [d for d, _ in want]
     assert len(out[q].docs) == len(want)
+
+
+def test_batch_kernel_split_is_placement_invariant(built_index, oracle_index):
+    """Placement invariance holds only in the COARSER direction: groups
+    may be unions of whole doc-range buckets (the null-slot overflow
+    path merges several buckets into one group), but never subdivisions
+    of one — a sub-bucket split was tried in round 5 and emitted partial
+    scores (a doc's terms' blocks have different first_docs, so they
+    landed in different groups; this test caught it). Here every bucket
+    above id 1 shares the overflow group and results must not move."""
+    from text_indexing_and_retrieval_system_spark import engine as eng
+
+    terms = sorted(
+        oracle_index.postings, key=lambda t: -len(oracle_index.postings[t])
+    )
+    queries = [
+        f'"{terms[0]}"',
+        f'"{terms[1]}" OR "{terms[3]}"',
+        f'"{terms[2]}" OR "{terms[8]}" OR "{terms[20]}"',
+    ]
+    base = built_index.search_batch(queries, k=10)
+    coarse = eng.InvertedIndex(built_index.spark, built_index.dir)
+    coarse.kernel_buckets = 2  # buckets >= 2 all map to the null slot
+    merged = coarse.search_batch(queries, k=10)
+    for q in queries:
+        assert merged[q].docs == base[q].docs, q
+        assert merged[q].scores == base[q].scores, q

@@ -214,10 +214,12 @@ def test_compaction_merges_chunked_postings(spark, corpus_df, tmp_path):
     d_nc = str(tmp_path / "nocompact")
     d_c = str(tmp_path / "compact")
     cfg_nc = IndexBuildConfig(
-        n_term_buckets=4, n_range_buckets=4, n_segment_chunks=2, compact=False
+        n_term_buckets=4, n_range_buckets=4, n_segment_chunks=2, compact=False,
+        chunk_min_convs=0,
     )
     cfg_c = IndexBuildConfig(
-        n_term_buckets=4, n_range_buckets=4, n_segment_chunks=2, compact=True
+        n_term_buckets=4, n_range_buckets=4, n_segment_chunks=2, compact=True,
+        chunk_min_convs=0,
     )
     a = engine.build(spark, corpus_df, d_nc, cfg_nc, input_desc="nc")
     b = engine.build(spark, corpus_df, d_c, cfg_c, input_desc="c")

@@ -23,6 +23,8 @@ oracle/DataFrame paths bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -103,7 +105,16 @@ def _with_slot(df: DataFrame, n_buckets: int):
     Buckets outside [0, n_buckets) map to null — they share one group,
     which is still EXACT: a group holding several buckets' blocks scores
     like one bigger bucket (doc sets are disjoint), so placement only
-    ever affects performance, never results."""
+    ever affects performance, never results.
+
+    NOTE (round-5 falsified idea): subdividing a range bucket into
+    finer placement groups (e.g. by first_doc bits) is NOT sound here,
+    even though blocks are doc-disjoint per term: a doc's score
+    accumulates across ITS QUERY TERMS' blocks, whose first_docs differ
+    per term — a sub-bucket split can send them to different groups and
+    emit partial scores (caught by
+    test_batch_kernel_split_is_placement_invariant before it shipped).
+    Groups must stay unions of whole doc-range buckets."""
     n_parts = n_buckets
     vals = _slot_values(n_parts)
     # ONE py4j call: F.create_map over 2*n literal Columns costs ~n
@@ -455,6 +466,14 @@ def _unpack_winner_rows(lpdf: pd.DataFrame) -> tuple[np.ndarray, ...]:
     return qids, docs, scores
 
 
+# NOTE (round-5 falsified experiment): a per-process decoded-block cache
+# for the batch kernel (payload -> block-relative offsets + impacts,
+# misses batch-decoded with first_docs pinned to 0) was implemented and
+# interleave-A/B-measured on the 4.85M-turn staged index at 16 cores:
+# min 2.05s cached vs 1.75s uncached per 256-query batch — the per-block
+# python assembly (dict lookups + 7k-array concatenate) costs more than
+# the ONE vectorized codec pass it saves. The vectorized decode stays
+# unconditional; scripts/bench_batch_ab.py holds the harness.
 def _decode_terms(pdf: pd.DataFrame, avgdl: float, local: bool = False):
     """All of a bucket's blocks -> {term: (sorted doc ids, impacts)} in
     ONE vectorized codec pass (codec.unpack_postings_batch) + one
@@ -474,13 +493,16 @@ def _decode_terms(pdf: pd.DataFrame, avgdl: float, local: bool = False):
         return (per_term, 0) if want_local else per_term
     pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
     base = 0
-    first_docs = None
+    use_local32 = False
     if local:
         base = int(pdf["first_doc"].min())
         if int(pdf["last_doc"].max()) - base < (1 << 31):
-            first_docs = pdf["first_doc"].to_numpy(dtype=np.int64)
+            use_local32 = True
         else:
             base = 0  # span too wide (merged overflow group): global mode
+    first_docs = (
+        pdf["first_doc"].to_numpy(dtype=np.int64) if use_local32 else None
+    )
     block_n, docs, tfs, dls = codec.unpack_postings_batch(
         pdf["payload"].to_list(), first_docs=first_docs, base=base
     )
@@ -537,6 +559,10 @@ def topk_disjunctive_batch(
     """
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import time as _t
+
+        _t0 = _t.time()
+        _c0 = _t.process_time()
         qmetas = (
             queries_meta.value if hasattr(queries_meta, "value") else queries_meta
         )
@@ -566,6 +592,7 @@ def topk_disjunctive_batch(
         # int32 bucket-local doc space (see _decode_terms): scoring is
         # bandwidth-bound, so halving the doc-array traffic is wall time
         per_term, doc_base = _decode_terms(pdf, avgdl, local=True)
+        _t_decode = _t.time() - _t0
         # numpy accumulation + ONE output frame: a pandas DataFrame per
         # query + concat measured ~1s/bucket of pure allocator overhead
         # at 1024 queries. (A bucket-level dense-score-buffer variant
@@ -627,6 +654,16 @@ def topk_disjunctive_batch(
                 qid_list.append(qid)
                 doc_blobs.append(docs_g.tobytes())
                 score_blobs.append(sel_scores.tobytes())
+        _log = os.environ.get("TIRS_KERNEL_TIMELOG")
+        if _log:
+            # opt-in per-group diagnostic (scaling-bench skew analysis):
+            # one line per kernel group with decode/total split
+            with open(_log, "a") as _fh:
+                _fh.write(
+                    f"{key[0]},{len(pdf)},{_t_decode:.4f},"
+                    f"{_t.time() - _t0:.4f},"
+                    f"{_t.process_time() - _c0:.4f},{os.getpid()}\n"
+                )
         if not qid_list:
             return empty
         return pd.DataFrame(
@@ -637,7 +674,9 @@ def topk_disjunctive_batch(
             }
         )
 
-    return _bucket_grouped(blocks, n_buckets).applyInPandas(run, schema=BATCH_TOPK_SCHEMA)
+    return _bucket_grouped(blocks, n_buckets).applyInPandas(
+        run, schema=BATCH_TOPK_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------
