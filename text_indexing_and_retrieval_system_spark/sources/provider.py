@@ -192,6 +192,8 @@ class IcebergProvider(TableProvider):
     sandbox has no outbound network), so the real-runtime contract run
     remains impossible here; `tests/test_provider_iceberg.py` covers
     the provider contract against the fake catalog instead.
+    Re-attempted round 5 (2026-08-17): still no jar on the box and
+    Maven Central still unreachable (curl HTTP 000) — unchanged.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
