@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_lsh_multiprobe"] = lambda s, d: similarity.ann_topk_lsh(
         _emb(s, d), 0, dim=64, k=10, n_planes=8, multiprobe=1
     )
+    q["ann_topk_ivf"] = lambda s, d: similarity.ann_topk_ivf(
+        _emb(s, d), 0, k=10, nlist=16, stride=31, nprobe=3
+    )
 
     # ---- multimodal decode (round 4: REAL PPM/WAV codec kernels) ----
     # documents -> deterministic PPM/WAV payloads via the real encoders
@@ -356,6 +359,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": similarity.sql_ann_topk_lsh(0, dim=64, k=10, n_planes=8),
         "ann_topk_lsh_multiprobe": similarity.sql_ann_topk_lsh(
             0, dim=64, k=10, n_planes=8, multiprobe=1
+        ),
+        "ann_topk_ivf": similarity.sql_ann_topk_ivf(
+            0, k=10, nlist=16, stride=31, nprobe=3
         ),
         # DuckDB has no offline stem() (fts extension is not
         # downloadable here), so these oracles join the corpus tokens

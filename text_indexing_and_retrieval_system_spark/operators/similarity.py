@@ -323,6 +323,229 @@ def lsh_buckets(
     return embeddings.select("vec_id", bucket.alias("bucket"))
 
 
+# --------------------------------------------------------------------------
+# IVF-flat ANN: the cluster-pruned scale path.
+#
+# Coarse quantizer: the embeddings of the first `nlist` vectors with
+# vec_id % stride == 0 (deterministic data-sampled centroids — the
+# k-means-init-style coarse quantizer, chosen so a SQL oracle can
+# reselect the exact same centroids from the table). Every vector is
+# assigned to its max-cosine centroid; a query probes its `nprobe`
+# nearest centroids and scores exact cosine inside them only.
+#
+# 100-TB design: assignment is a single NARROW map over the table (the
+# centroid set rides along as literal columns below, or as a broadcast
+# numpy matrix inside a pandas UDF once nlist reaches ~10^4);
+# `build_ivf_store` then materializes the inverted file as a
+# cid-partitioned table, so a query's candidate read is a
+# partition-PRUNED scan of ~nprobe/nlist of the corpus — the IVF list
+# structure expressed as storage partitioning instead of a filter.
+# --------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame, nlist: int = 16, stride: int = 31
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer, collected to the driver (nlist
+    rows — the faiss-style 'train once, tiny model' artifact)."""
+    rows = (
+        embeddings.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(nlist)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _centroid_cos_cols(cents: list[tuple[int, list[float]]]):
+    """[(cid, cosine Column)] against a bound `__vnorm` column. The
+    centroid norm is computed by the SAME sequential fold the oracle's
+    `sum(w*w ORDER BY i)` performs, so unrounded assignment cosines are
+    bit-identical across engines (the LSH-bucket precedent)."""
+    out = []
+    for cid, emb in cents:
+        arr = F.array(*[F.lit(float(v)) for v in emb])
+        cnorm = F.sqrt(
+            F.aggregate(
+                F.transform(arr, lambda w: w * w), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        cos = _dot(F.col("embedding"), arr) / (F.col("__vnorm") * cnorm)
+        out.append((cid, cos))
+    return out
+
+
+def ivf_assign(
+    embeddings: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, cid): nearest-centroid assignment with NO shuffle — an
+    array_max over per-centroid cosine structs, entirely JVM-side.
+    Ties break to the smallest cid (struct carries -cid so the struct
+    max picks it)."""
+    df = embeddings.withColumn("__vnorm", _norm(F.col("embedding")))
+    pairs = _centroid_cos_cols(cents)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(cos.alias("cos"), F.lit(-cid).cast("int").alias("ncid"))
+                for cid, cos in pairs
+            ]
+        )
+    )
+    return df.select("vec_id", (-best["ncid"]).alias("cid"))
+
+
+def ivf_query_probes(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> DataFrame:
+    """One row, one column `probe_cids`: the query's nprobe nearest
+    centroid ids (cos desc, cid asc — sorted as struct(-cos, cid) asc,
+    exact for IEEE orderings without NaN)."""
+    df = embeddings.filter(F.col("vec_id") == query_vec_id).withColumn(
+        "__vnorm", _norm(F.col("embedding"))
+    )
+    pairs = _centroid_cos_cols(cents)
+    arr = F.array(
+        *[
+            F.struct((-cos).alias("negcos"), F.lit(cid).cast("int").alias("cid"))
+            for cid, cos in pairs
+        ]
+    )
+    probes = F.slice(F.array_sort(arr), 1, nprobe)
+    return df.select(F.transform(probes, lambda s: s["cid"]).alias("probe_cids"))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    stride: int = 31,
+    nprobe: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: exact cosine restricted to the
+    query's nprobe nearest clusters. nprobe == nlist degenerates to
+    exact brute force (asserted in tests/test_ann_ivf.py)."""
+    cents = ivf_centroids(embeddings, nlist, stride)
+    assigned = ivf_assign(embeddings, cents)
+    probes = ivf_query_probes(embeddings, query_vec_id, cents, nprobe)
+    cands = (
+        assigned.crossJoin(F.broadcast(probes))
+        .filter(
+            F.array_contains(F.col("probe_cids"), F.col("cid"))
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id")
+    )
+    pool = embeddings.join(
+        cands.union(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select("vec_id")
+        ).distinct(),
+        "vec_id",
+        "left_semi",
+    )
+    return cosine_topk(pool, query_vec_id, k, round_to)
+
+
+def build_ivf_store(
+    embeddings: DataFrame, cents: list[tuple[int, list[float]]], path: str
+) -> None:
+    """Materialize the inverted file: embeddings written partitioned by
+    centroid id. This is the at-scale artifact — candidate reads become
+    partition-pruned scans (PartitionFilters on cid, asserted in
+    tests/test_ann_ivf.py), touching ~nprobe/nlist of the bytes."""
+    ivf_assign(embeddings, cents).join(embeddings, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def ann_topk_ivf_store(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    cents: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Query the materialized inverted file: identical results to the
+    in-plan `ann_topk_ivf`, but the candidate scan reads only the probed
+    cid partitions."""
+    probe_cids = [
+        int(c)
+        for c in ivf_query_probes(embeddings, query_vec_id, cents, nprobe).collect()[
+            0
+        ]["probe_cids"]
+    ]
+    pool = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probe_cids) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", "embedding")
+        .union(
+            embeddings.filter(F.col("vec_id") == query_vec_id).select(
+                "vec_id", "embedding"
+            )
+        )
+    )
+    return cosine_topk(pool, query_vec_id, k, round_to)
+
+
+def sql_ann_topk_ivf(
+    query_vec_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    stride: int = 31,
+    nprobe: int = 3,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of ann_topk_ivf. Assignment cosines use
+    `sum(... ORDER BY i)` sequential accumulation to mirror Spark's
+    fold exactly; the final reported cosine reuses the cosine_topk
+    oracle shape."""
+    return f"""
+with cent as (select vec_id as cid, embedding as cemb from embeddings
+              where vec_id % {stride} = 0 order by vec_id limit {nlist}),
+cx as (select cid, unnest(cemb)::double as w,
+              generate_subscripts(cemb, 1) as i from cent),
+cn as (select cid, sqrt(sum(w * w order by i)) as cnorm from cx group by cid),
+exb as (select vec_id, unnest(embedding)::double as x,
+               generate_subscripts(embedding, 1) as i from embeddings),
+vn as (select vec_id, sqrt(sum(x * x order by i)) as vnorm from exb group by vec_id),
+cc as (select e.vec_id, c.cid, sum(e.x * c.w order by e.i) as d
+       from exb e join cx c using (i) group by e.vec_id, c.cid),
+ccn as (select cc.vec_id, cc.cid, cc.d / (vn.vnorm * cn.cnorm) as cos
+        from cc join vn on cc.vec_id = vn.vec_id join cn on cc.cid = cn.cid),
+assign as (select vec_id, cid from (
+             select vec_id, cid,
+                    row_number() over (partition by vec_id
+                                       order by cos desc, cid asc) as rn
+             from ccn) t where rn = 1),
+qprobe as (select cid from ccn where vec_id = {query_vec_id}
+           order by cos desc, cid asc limit {nprobe}),
+cand as (select a.vec_id from assign a
+         where a.cid in (select cid from qprobe)
+           and a.vec_id != {query_vec_id}),
+q as (select embedding as q_emb from embeddings where vec_id = {query_vec_id}),
+ex as (select vec_id, x, i from exb
+       where vec_id in (select vec_id from cand)),
+qx as (select unnest(q_emb)::double as qx,
+              generate_subscripts(q_emb, 1) as i from q),
+qn as (select sqrt(sum(qx * qx)) as qnorm from qx)
+select ex.vec_id,
+       round(sum(ex.x * qx.qx) / (sqrt(sum(ex.x * ex.x)) * any_value(qn.qnorm)),
+             {round_to}) as cosine
+from ex join qx using (i), qn
+group by ex.vec_id
+order by cosine desc, ex.vec_id asc limit {k}
+"""
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int,
