@@ -84,8 +84,8 @@ def main() -> None:
         "bm25_topk", "tfidf_topk", "bool_and", "bool_or_not", "phrase_match",
         "word_freq_top50", "term_stats", "dedup_exact", "minhash_signatures",
         "lsh_candidate_pairs", "simhash", "quality_scores", "langid",
-        "cosine_topk", "embedding_neardup", "multimodal_features",
-        "stem_snowball_top50", "pricing_summary",
+        "cosine_topk", "ann_topk_ivf", "embedding_neardup",
+        "multimodal_features", "stem_snowball_top50", "pricing_summary",
         "revenue_by_nation", "events_hourly",
     ]
     for name in suite:
