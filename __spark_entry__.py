@@ -145,6 +145,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), 0, k=10, nlist=16, stride=31, nprobe=3
     )
 
+    def _ivf_store(s, d):
+        # the at-scale path: materialize the inverted file (embeddings
+        # partitioned by centroid id), then answer from partition-pruned
+        # scans of the nprobe probed cids only — same oracle as the
+        # in-plan variant (results are identical by construction)
+        import tempfile
+
+        emb = _emb(s, d)
+        cents = similarity.ivf_centroids(emb, nlist=16, stride=31)
+        path = os.path.join(
+            tempfile.gettempdir(), "tirs_ivf_store_" + os.path.basename(d.rstrip("/"))
+        )
+        similarity.build_ivf_store(emb, cents, path)
+        return similarity.ann_topk_ivf_store(s, path, emb, 0, cents, k=10, nprobe=3)
+
+    q["ann_topk_ivf_store"] = _ivf_store
+
     # ---- multimodal decode (round 4: REAL PPM/WAV codec kernels) ----
     # documents -> deterministic PPM/WAV payloads via the real encoders
     # -> decode + feature-extract inside one Arrow kernel; the emitted
@@ -361,6 +378,9 @@ def oracle_sql() -> dict[str, str]:
             0, dim=64, k=10, n_planes=8, multiprobe=1
         ),
         "ann_topk_ivf": similarity.sql_ann_topk_ivf(
+            0, k=10, nlist=16, stride=31, nprobe=3
+        ),
+        "ann_topk_ivf_store": similarity.sql_ann_topk_ivf(
             0, k=10, nlist=16, stride=31, nprobe=3
         ),
         # DuckDB has no offline stem() (fts extension is not

@@ -358,20 +358,38 @@ def ivf_centroids(
     return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
 
 
-def _centroid_cos_cols(cents: list[tuple[int, list[float]]]):
-    """[(cid, cosine Column)] against a bound `__vnorm` column. The
-    centroid norm is computed by the SAME sequential fold the oracle's
-    `sum(w*w ORDER BY i)` performs, so unrounded assignment cosines are
-    bit-identical across engines (the LSH-bucket precedent)."""
+def _centroid_cos_exprs(cents: list[tuple[int, list[float]]]) -> list[tuple[int, str]]:
+    """[(cid, cosine SQL expression string)] against a bound `__vnorm`
+    column.
+
+    Everything per-centroid is ONE SQL string, composed into a single
+    F.expr by the callers — building the same tree from F.lit / HOF
+    lambda Columns costs a py4j round trip per node (nlist x dim
+    literals + 5 lambdas per centroid ≈ 2 s of pure driver time per
+    call site at nlist=16, dim=64; the round-3 bucket-slot-map lesson).
+    repr() emits the shortest round-trip decimal and the `D` suffix
+    parses it straight to a double (no DecimalType detour), so the
+    literals are bit-identical to F.lit's.
+
+    The centroid norm is pre-folded HERE in Python — sequential
+    double adds in array order then one IEEE sqrt — which is the exact
+    fold both Spark's `aggregate` and the oracle's `sum(w*w ORDER BY
+    i)` perform, so unrounded assignment cosines stay bit-identical
+    across all three engines (the LSH-bucket precedent)."""
+    import math
+
     out = []
     for cid, emb in cents:
-        arr = F.array(*[F.lit(float(v)) for v in emb])
-        cnorm = F.sqrt(
-            F.aggregate(
-                F.transform(arr, lambda w: w * w), F.lit(0.0), lambda a, v: a + v
-            )
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in emb) + ")"
+        acc = 0.0
+        for v in emb:
+            acc += float(v) * float(v)
+        cnorm = math.sqrt(acc)
+        cos = (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+            f" / (__vnorm * {cnorm!r}D)"
         )
-        cos = _dot(F.col("embedding"), arr) / (F.col("__vnorm") * cnorm)
         out.append((cid, cos))
     return out
 
@@ -384,15 +402,11 @@ def ivf_assign(
     Ties break to the smallest cid (struct carries -cid so the struct
     max picks it)."""
     df = embeddings.withColumn("__vnorm", _norm(F.col("embedding")))
-    pairs = _centroid_cos_cols(cents)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(cos.alias("cos"), F.lit(-cid).cast("int").alias("ncid"))
-                for cid, cos in pairs
-            ]
-        )
+    pairs = _centroid_cos_exprs(cents)
+    structs = ",".join(
+        f"struct({cos} AS cos, CAST({-cid} AS INT) AS ncid)" for cid, cos in pairs
     )
+    best = F.expr(f"array_max(array({structs}))")
     return df.select("vec_id", (-best["ncid"]).alias("cid"))
 
 
@@ -408,15 +422,15 @@ def ivf_query_probes(
     df = embeddings.filter(F.col("vec_id") == query_vec_id).withColumn(
         "__vnorm", _norm(F.col("embedding"))
     )
-    pairs = _centroid_cos_cols(cents)
-    arr = F.array(
-        *[
-            F.struct((-cos).alias("negcos"), F.lit(cid).cast("int").alias("cid"))
-            for cid, cos in pairs
-        ]
+    pairs = _centroid_cos_exprs(cents)
+    structs = ",".join(
+        f"struct(-({cos}) AS negcos, CAST({cid} AS INT) AS cid)"
+        for cid, cos in pairs
     )
-    probes = F.slice(F.array_sort(arr), 1, nprobe)
-    return df.select(F.transform(probes, lambda s: s["cid"]).alias("probe_cids"))
+    probes = F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}), s -> s.cid)"
+    )
+    return df.select(probes.alias("probe_cids"))
 
 
 def ann_topk_ivf(
