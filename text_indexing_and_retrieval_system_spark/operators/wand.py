@@ -610,13 +610,20 @@ def topk_disjunctive_batch(
             )
             if not items:
                 continue
-            q_docs = np.unique(
-                np.concatenate([per_term[t][0] for _, t, _ in items])
+            # one-pass accumulation: unique(return_inverse) + bincount
+            # replaces T searchsorted passes (T * df_t * log(U) binary
+            # searches). Bit-identical to the per-term loop: bincount
+            # adds element-by-element in input order, and the concat
+            # order below is the same sorted-items order the loop added
+            # in, so every doc's partial sums happen in the identical
+            # floating-point sequence (scripts/bench_score_accum.py
+            # asserts this; 1.2-1.6x on mid/hot-df queries)
+            all_docs = np.concatenate([per_term[t][0] for _, t, _ in items])
+            all_imps = np.concatenate(
+                [idf * per_term[t][1] for _, t, idf in items]
             )
-            scores = np.zeros(q_docs.size, dtype=np.float64)
-            for _, term, idf in items:
-                d, imp = per_term[term]
-                scores[np.searchsorted(q_docs, d)] += idf * imp
+            q_docs, inv = np.unique(all_docs, return_inverse=True)
+            scores = np.bincount(inv, weights=all_imps, minlength=q_docs.size)
             if q_docs.size > k:
                 kth = np.partition(-scores, k - 1)[k - 1]
                 cand = np.flatnonzero(-scores <= kth)
