@@ -455,7 +455,11 @@ def main() -> None:
         best["query_sec"] = min(d["query_sec"] for d in runs)
         best["query_qps"] = max(d["query_qps"] for d in runs)
         best["build_sec_all"] = [d["build_sec"] for d in runs]
-        best["query_sec_all"] = [d["query_sec"] for d in runs]
+        # flatten every timed batch (fresh-process workers report a
+        # min-of-R inner list) so no leg disappears from the report
+        best["query_sec_all"] = [
+            s for d in runs for s in d.get("query_sec_all", [d["query_sec"]])
+        ]
         best["build_turns_per_sec"] = round(best["n_turns"] / best["build_sec"], 1)
         results[cores] = best
 
