@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n=3, n_hashes=8, rows_per_band=2
     )
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d), bits=32)
+    q["dedup_clusters"] = lambda s, d: dedup.neardup_clusters(
+        _docs(s, d), n=3, threshold=0.2
+    )
 
     # ---- text analysis ----
     q["token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d))
@@ -358,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": docquery.sql_term_stats(min_df=100),
         "dedup_exact": dedup.sql_exact_dedup_groups(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(n=3, threshold=0.2),
+        "dedup_clusters": dedup.sql_neardup_clusters(n=3, threshold=0.2),
         "minhash_signatures": dedup.sql_minhash_signatures(n=3, n_hashes=8),
         "lsh_candidate_pairs": dedup.sql_lsh_candidate_pairs(
             n=3, n_hashes=8, rows_per_band=2

@@ -334,3 +334,54 @@ select doc_id,
        sum(case when s > 0 then (1::bigint << bit) else 0 end)::bigint as simhash
 from per_bit group by doc_id
 """
+
+
+# ----------------------- near-dup clusters (CC) -----------------------
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document in a
+    near-duplicate cluster (>= 2 docs): n-gram Jaccard candidate pairs
+    -> distributed connected components (`operators/graph.py`) ->
+    cluster_id = min doc_id of the component (the canonical keeper a
+    dedup pipeline retains). Completes the pair-producing dedup family
+    into actionable groups; at scale swap the pair source for
+    `lsh_candidate_pairs` — any (doc_a, doc_b) frame works."""
+    from .graph import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, n, threshold, max_shingle_df)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def sql_neardup_clusters(
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None
+) -> str:
+    """DuckDB oracle: same pairs, then min-label closure via a recursive
+    CTE (enumerates every (node, reachable-label) pair — exact on the
+    small oracle corpus; the Spark side is the scale algorithm)."""
+    pairs_sql = sql_ngram_jaccard_pairs(n, threshold, max_shingle_df)
+    return f"""
+with recursive pairs as ({pairs_sql}),
+edges as (select doc_a as u, doc_b as v from pairs
+          union select doc_b as u, doc_a as v from pairs),
+r(node, label) as (
+    select u, u from edges
+    union
+    select e.u, r.label from edges e join r on r.node = e.v
+),
+cc as (select node, min(label) as cluster_id from r group by node)
+select node as doc_id, cluster_id,
+       count(*) over (partition by cluster_id) as cluster_size
+from cc
+"""
