@@ -456,10 +456,14 @@ def ann_topk_ivf(
         )
         .select("vec_id")
     )
+    # no distinct on the candidate ids: `assigned` is one row per
+    # vec_id by construction and left_semi is set-semantics anyway, so
+    # deduping here would be a full extra shuffle of the candidate set
+    # for nothing (at 10^9 vectors, the most expensive no-op in the plan)
     pool = embeddings.join(
         cands.union(
             embeddings.filter(F.col("vec_id") == query_vec_id).select("vec_id")
-        ).distinct(),
+        ),
         "vec_id",
         "left_semi",
     )
