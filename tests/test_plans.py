@@ -20,12 +20,20 @@ def test_postings_scan_pruned(built_index):
 
 def test_column_pruning_on_ranked_topk(spark):
     docs = docquery.load_documents(spark, SF)
-    df = docquery.ranked_topk(docs, ["join", "scan"], "bm25", k=10)
-    plan = X.plan_string(df)
+    # round 6: ranked_topk localCheckpoints the (doc_id, dl, tf*)
+    # projection so stats + scoring share ONE tokenize scan; the parquet
+    # scan (and its column pruning) lives in the projection plan
+    proj = docquery._tf_dl_projection(docs, ["join", "scan"])
+    plan = X.plan_string(proj)
     # the documents scan must read only (doc_id, text) — not lang/source
     assert X.scan_read_schema(
         plan, "doc_id", "text", absent=("lang", "source", "n_chars")
     ), plan
+    # and the final query must be fed by the materialized projection
+    # (exactly one scan of the corpus per ranked query)
+    df = docquery.ranked_topk(docs, ["join", "scan"], "bm25", k=10)
+    final = X.plan_string(df)
+    assert "Scan ExistingRDD" in final, final
 
 
 def test_filter_pushdown_on_documents(spark):

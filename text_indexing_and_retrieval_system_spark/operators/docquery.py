@@ -51,36 +51,101 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------- boolean (F1-F5) -----------------------------
+#
+# Round-6 shape (guide §2.4 "remove shuffles outright"): every boolean
+# operator is ONE tokenize scan with per-row membership flags, aggregated
+# per doc_id — instead of one full tokenize scan PER TERM feeding
+# semi/anti joins (bool_and was 2 scans + broadcast join + 2 exchanges;
+# bool_or_not was 3 scans; phrase_match 2 scans + an adjacency join).
+# The per-doc max() aggregation preserves exact set semantics even when
+# a doc_id spans several rows, so results are bit-identical to the
+# join formulation (and the DuckDB oracles) for ANY input.
+
+
+def _toks_col():
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
 
 
 def term_postings(docs: DataFrame, term: str) -> DataFrame:
-    toks = simple_tokens(docs)
-    return toks.filter(F.col("term") == term).select("doc_id").distinct()
+    return (
+        docs.filter(F.array_contains(_toks_col(), term)).select("doc_id").distinct()
+    )
 
 
 def bool_and(docs: DataFrame, t1: str, t2: str) -> DataFrame:
-    return term_postings(docs, t1).join(
-        term_postings(docs, t2), "doc_id", "left_semi"
+    toks = _toks_col()
+    flags = docs.select(
+        "doc_id",
+        F.array_contains(toks, t1).alias("__h1"),
+        F.array_contains(toks, t2).alias("__h2"),
+    ).filter(F.col("__h1") | F.col("__h2"))
+    return (
+        flags.groupBy("doc_id")
+        .agg(F.max("__h1").alias("__h1"), F.max("__h2").alias("__h2"))
+        .filter(F.col("__h1") & F.col("__h2"))
+        .select("doc_id")
     )
 
 
 def bool_or_not(docs: DataFrame, t1: str, t2: str, t3: str) -> DataFrame:
     """(t1 OR t2) AND NOT t3."""
-    ors = term_postings(docs, t1).union(term_postings(docs, t2)).distinct()
-    return ors.join(term_postings(docs, t3), "doc_id", "left_anti")
+    toks = _toks_col()
+    flags = docs.select(
+        "doc_id",
+        F.array_contains(toks, t1).alias("__h1"),
+        F.array_contains(toks, t2).alias("__h2"),
+        F.array_contains(toks, t3).alias("__h3"),
+    ).filter(F.col("__h1") | F.col("__h2") | F.col("__h3"))
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.max("__h1").alias("__h1"),
+            F.max("__h2").alias("__h2"),
+            F.max("__h3").alias("__h3"),
+        )
+        .filter((F.col("__h1") | F.col("__h2")) & ~F.col("__h3"))
+        .select("doc_id")
+    )
 
 
 def phrase_match(docs: DataFrame, w1: str, w2: str) -> DataFrame:
-    """docs containing the 2-word phrase — positional adjacency join."""
-    toks = simple_tokens(docs)
-    a = toks.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("pa"))
-    b = toks.filter(F.col("term") == w2).select("doc_id", F.col("pos").alias("pb"))
-    return (
-        a.join(b, "doc_id")
-        .filter(F.col("pb") == F.col("pa") + 1)
-        .select("doc_id")
-        .distinct()
+    """docs containing the 2-word phrase — positional adjacency over
+    per-row position arrays, pooled per doc_id (identical to the
+    two-sided positional join: a doc matches iff some pos p has w1 at p
+    and w2 at p+1 within the doc's pooled position sets)."""
+
+    def positions_of(word: str):
+        # 0-based positions where the token equals `word`; encoded +1 so
+        # the sentinel 0 can be filtered out without a nullable array
+        return F.filter(
+            F.transform(
+                F.col("__toks"),
+                lambda x, i: F.when(x == F.lit(word), i + 1).otherwise(F.lit(0)),
+            ),
+            lambda v: v > 0,
+        )
+
+    base = docs.select("doc_id", _toks_col().alias("__toks")).select(
+        "doc_id",
+        positions_of(w1).alias("__pa"),
+        positions_of(w2).alias("__pb"),
     )
+    pooled = (
+        base.filter((F.size("__pa") > 0) | (F.size("__pb") > 0))
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(F.collect_list("__pa")).alias("__pa"),
+            F.flatten(F.collect_list("__pb")).alias("__pb"),
+        )
+    )
+    return pooled.filter(
+        F.arrays_overlap(
+            F.transform(F.col("__pa"), lambda a: a + 1), F.col("__pb")
+        )
+    ).select("doc_id")
 
 
 # --------------------------- stats (B4, P7, doclen) ---------------------------
@@ -157,18 +222,21 @@ def ranked_topk(docs: DataFrame, terms: list[str], scorer: str, k: int = 20) -> 
     term would otherwise be scored twice, diverging from the SQL
     oracles' DISTINCT-term semantics.
 
-    Two jobs, two scans, zero shuffles (round-1 verdict wrong-#1 fixed —
-    the old plan re-tokenized the corpus 3x through groupBy/join stages):
-    1. a one-row stats aggregate (n_docs, avgdl, per-term df) over one
-       tokenize pass, collected and folded into the scoring expression as
-       literals (at 100 TB these corpus stats come from the index
-       manifest instead — see engine.InvertedIndex — so the literal fold
-       is exactly the deployment shape);
-    2. the scoring pass: per-doc tf/dl from the same single-scan
-       projection -> score expression -> TakeOrderedAndProject(k).
+    Two jobs, ONE tokenize scan (round 6; guide §1.2 "don't compute
+    things twice"): the (doc_id, dl, tf0..tfm) projection is
+    localCheckpoint-materialized (tiny: one narrow row per doc), so
+    1. the one-row stats aggregate (n_docs, avgdl, per-term df) reads
+       the materialized projection, collected and folded into the
+       scoring expression as literals (at 100 TB these corpus stats come
+       from the index manifest instead — see engine.InvertedIndex — so
+       the literal fold is exactly the deployment shape);
+    2. the scoring pass reads the same materialized projection ->
+       score expression -> TakeOrderedAndProject(k).
+    Before round 6 both passes re-ran the tokenize+projection scan
+    (2 full corpus tokenizations per query).
     """
     terms = list(dict.fromkeys(terms))
-    proj = _tf_dl_projection(docs, terms)
+    proj = _tf_dl_projection(docs, terms).localCheckpoint()
     stats = proj.agg(
         F.count("*").alias("n"),
         F.avg("dl").alias("avgdl"),
