@@ -100,3 +100,27 @@ def test_recall_at_nprobe3(spark, emb):
         }
         recalls.append(len(got & truth) / K)
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_driver_probe_fold_matches_inplan_expression(emb, cents):
+    """Round-6: ann_topk_ivf folds the probe selection on the driver
+    (`ivf_probe_cids`, sequential IEEE fold). It must reproduce the
+    in-plan SQL-expression probes (`ivf_query_probes`) bit-exactly —
+    for every nprobe and for several query ids."""
+    for qid in (0, 7, 13):
+        for nprobe in (1, 3, NLIST):
+            drv, q_emb = similarity.ivf_probe_cids(emb, qid, cents, nprobe)
+            assert q_emb is not None
+            sql = list(
+                similarity.ivf_query_probes(emb, qid, cents, nprobe).collect()[0][
+                    "probe_cids"
+                ]
+            )
+            assert drv == [int(c) for c in sql], (qid, nprobe, drv, sql)
+
+
+def test_driver_probe_missing_query(emb, cents):
+    probes, q_emb = similarity.ivf_probe_cids(emb, 10**9, cents, 3)
+    assert probes == [] and q_emb is None
+    out = similarity.ann_topk_ivf(emb, 10**9, k=K, nlist=NLIST, stride=STRIDE)
+    assert out.count() == 0 and out.columns == ["vec_id", "cosine"]

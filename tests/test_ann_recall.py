@@ -60,3 +60,21 @@ def test_multiprobe_recall_dominates(spark, emb_np):
         multi.append(len(got_m & truth) / K)
         assert multi[-1] >= single[-1], qid
     assert sum(multi) / len(multi) >= 0.5, (single, multi)
+
+
+def test_driver_bucket_fold_matches_inplan_expression(spark):
+    """Round-6: ann_topk_lsh folds the query's bucket on the driver
+    (`_driver_bucket`). It must reproduce the in-plan bucket expression
+    (`lsh_buckets`) bit-exactly across several query ids and plane
+    counts."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for n_planes in (3, 8):
+        buckets = {
+            r["vec_id"]: r["bucket"]
+            for r in similarity.lsh_buckets(emb, 64, n_planes).collect()
+        }
+        for qid in QUERY_IDS:
+            q_emb = similarity._query_embedding(emb, qid)
+            assert (
+                similarity._driver_bucket(q_emb, 64, n_planes, 13) == buckets[qid]
+            ), (qid, n_planes)

@@ -35,25 +35,82 @@ def _norm(a):
     )
 
 
+def _seq_dot(a, b) -> float:
+    """Sequential left-fold dot product — the EXACT IEEE operation
+    sequence of `_dot` (aggregate over zip_with with a double accumulator)
+    and of the oracle's `sum(x * w ORDER BY i)`, so driver-folded values
+    are bit-identical to the engine-computed ones (the LSH-bucket /
+    centroid-norm precedent, see `_centroid_cos_exprs`)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _seq_norm(a) -> float:
+    import math
+
+    return math.sqrt(_seq_dot(a, a))
+
+
+def _lit_array(vals) -> str:
+    """float64 array as ONE SQL expression string (repr round-trips the
+    double exactly; `D` parses straight to DoubleType) — building the
+    same tree from F.lit costs a py4j round trip per element."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _query_embedding(embeddings: DataFrame, query_vec_id: int) -> list[float] | None:
+    """The query vector, collected once (a pushed-filter point scan)."""
+    rows = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .take(1)
+    )
+    if not rows:
+        return None
+    return [float(x) for x in rows[0]["embedding"]]
+
+
+def _empty_topk(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.lit(None).cast("double").alias("cosine")
+    ).filter(F.lit(False))
+
+
+def _cosine_topk_lit(
+    pool: DataFrame, q_emb: list[float], k: int, round_to: int
+) -> DataFrame:
+    """Top-k cosine of `pool` rows against a literal query vector: ONE
+    scan -> score expression -> TakeOrderedAndProject. The query norm is
+    pre-folded on the driver with the identical IEEE fold `_norm`
+    performs per row, so scores are bit-identical to the former
+    broadcast-join formulation."""
+    cos = F.expr(
+        f"aggregate(zip_with(embedding, {_lit_array(q_emb)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    ) / (_norm(F.col("embedding")) * F.lit(_seq_norm(q_emb)))
+    return (
+        pool.select("vec_id", F.round(cos, round_to).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, query_vec_id: int, k: int = 10, round_to: int = 4
 ) -> DataFrame:
     """Top-k nearest to the vector with id `query_vec_id` (excluded from
-    results). Query vector is a one-row broadcast — the scan stays a
-    single pass over the embeddings table."""
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb")
-    )
-    joined = embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(
-        F.broadcast(q)
-    )
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
-    )
-    return (
-        joined.select("vec_id", F.round(cos, round_to).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
+    results). Round 6: the one-row query vector is collected once and
+    folded into the scoring expression as a literal — one scan plus a
+    point lookup, no broadcast exchange (the former plan built a
+    broadcast from a second scan of the table; inside the ANN operators
+    that second scan duplicated the whole candidate subtree)."""
+    q_emb = _query_embedding(embeddings, query_vec_id)
+    if q_emb is None:
+        return _empty_topk(embeddings)
+    return _cosine_topk_lit(
+        embeddings.filter(F.col("vec_id") != query_vec_id), q_emb, k, round_to
     )
 
 
@@ -84,21 +141,24 @@ def _gemm_pair_scorer(threshold: float, round_to: int):
     def score(batches):
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                ids_a = np.array([r["vec_id"] for r in row["vs_a"]], dtype=np.int64)
+            # itertuples, not iterrows: one row here is a whole block
+            # pair (bounded count), but iterrows pays a per-row Series
+            # construction for the three fat columns (r5 verdict nit #3)
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([r["vec_id"] for r in row.vs_a], dtype=np.int64)
                 mat_a = np.array(
-                    [r["embedding"] for r in row["vs_a"]], dtype=np.float64
+                    [r["embedding"] for r in row.vs_a], dtype=np.float64
                 )
-                ids_b = np.array([r["vec_id"] for r in row["vs_b"]], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in row.vs_b], dtype=np.int64)
                 mat_b = np.array(
-                    [r["embedding"] for r in row["vs_b"]], dtype=np.float64
+                    [r["embedding"] for r in row.vs_b], dtype=np.float64
                 )
                 na = np.sqrt((mat_a * mat_a).sum(axis=1))
                 nb = np.sqrt((mat_b * mat_b).sum(axis=1))
                 cos = (mat_a @ mat_b.T) / np.outer(na, nb)
                 cos = np.round(cos, round_to)
                 keep = cos >= threshold
-                if row["same_blk"]:
+                if row.same_blk:
                     keep &= ids_a[:, None] < ids_b[None, :]
                 ii, jj = np.nonzero(keep)
                 if ii.size:
@@ -179,8 +239,10 @@ def embedding_neardup_lsh(
     vectors. Recall = LSH bucket recall (pairs split across buckets are
     missed — that IS the operator's contract; `embedding_neardup_pairs`
     is the exact verifier at small n)."""
-    b = lsh_buckets(embeddings, dim, n_planes, seed)
-    e = embeddings.join(b, "vec_id")
+    # bucket computed inline on the scan (round 6): the former
+    # lsh_buckets-then-join-on-vec_id shape paid a full shuffle join to
+    # re-attach a column the scan itself can compute
+    e = embeddings.withColumn("bucket", _bucket_col(dim, n_planes, seed))
     sizes = e.groupBy("bucket").agg(F.count("*").alias("__bsz"))
     e = e.join(F.broadcast(sizes), "bucket").withColumn(
         "nsub", F.ceil(F.col("__bsz") / F.lit(max_block)).cast("int")
@@ -309,18 +371,45 @@ where round(d / (na.nn * nb.nn), {round_to}) >= {threshold}
 """
 
 
+def _bucket_col(dim: int, n_planes: int = 16, seed: int = 13):
+    """Sign-of-projection bucket Column over a bound `embedding` column.
+    Composed as ONE SQL expression string (repr-exact double literals,
+    `D` suffix) — the F.lit-per-weight tree cost n_planes x dim py4j
+    round trips of pure driver time per call site (the
+    `_centroid_cos_exprs` lesson). Same fold, same values."""
+    planes = hyperplanes(dim, n_planes, seed)
+    parts = []
+    for p_idx in range(n_planes):
+        proj = (
+            f"aggregate(zip_with(embedding, {_lit_array(planes[p_idx])}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        parts.append(
+            f"IF({proj} > 0.0D, CAST({1 << p_idx} AS BIGINT), CAST(0 AS BIGINT))"
+        )
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(parts))
+
+
+def _driver_bucket(q_emb: list[float], dim: int, n_planes: int, seed: int) -> int:
+    """The query vector's LSH bucket, folded on the driver with the
+    exact `_seq_dot` fold `_bucket_col` performs per row (bit-identical;
+    asserted against the in-plan expression in tests)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = 0
+    for p_idx in range(n_planes):
+        if _seq_dot(q_emb, planes[p_idx]) > 0.0:
+            bucket += 1 << p_idx
+    return bucket
+
+
 def lsh_buckets(
     embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 13
 ) -> DataFrame:
     """(vec_id, bucket): sign-of-projection bucket per vector. Planes are
-    literal columns (deterministic, no broadcast variable needed)."""
-    planes = hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for p_idx in range(n_planes):
-        plane = F.array([F.lit(float(v)) for v in planes[p_idx]])
-        proj = _dot(F.col("embedding"), plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx).cast("long")).otherwise(0)
-    return embeddings.select("vec_id", bucket.alias("bucket"))
+    literal expressions (deterministic, no broadcast variable needed)."""
+    return embeddings.select(
+        "vec_id", _bucket_col(dim, n_planes, seed).alias("bucket")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -394,20 +483,49 @@ def _centroid_cos_exprs(cents: list[tuple[int, list[float]]]) -> list[tuple[int,
     return out
 
 
-def ivf_assign(
-    embeddings: DataFrame, cents: list[tuple[int, list[float]]]
-) -> DataFrame:
-    """(vec_id, cid): nearest-centroid assignment with NO shuffle — an
-    array_max over per-centroid cosine structs, entirely JVM-side.
-    Ties break to the smallest cid (struct carries -cid so the struct
-    max picks it)."""
-    df = embeddings.withColumn("__vnorm", _norm(F.col("embedding")))
+def _assign_cid_col(cents: list[tuple[int, list[float]]]):
+    """cid Column: nearest-centroid assignment against a bound `__vnorm`
+    column — an array_max over per-centroid cosine structs, entirely
+    JVM-side. Ties break to the smallest cid (struct carries -cid so the
+    struct max picks it)."""
     pairs = _centroid_cos_exprs(cents)
     structs = ",".join(
         f"struct({cos} AS cos, CAST({-cid} AS INT) AS ncid)" for cid, cos in pairs
     )
     best = F.expr(f"array_max(array({structs}))")
-    return df.select("vec_id", (-best["ncid"]).alias("cid"))
+    return -best["ncid"]
+
+
+def ivf_assign(
+    embeddings: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, cid): nearest-centroid assignment with NO shuffle."""
+    df = embeddings.withColumn("__vnorm", _norm(F.col("embedding")))
+    return df.select("vec_id", _assign_cid_col(cents).alias("cid"))
+
+
+def ivf_probe_cids(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> tuple[list[int], list[float] | None]:
+    """(probe cids, query embedding): the query's nprobe nearest centroid
+    ids (cos desc, cid asc), computed ON THE DRIVER from the collected
+    query vector with the exact sequential folds the engine/oracle use
+    (`_seq_dot`/`_seq_norm` — bit-identical cosines, asserted against the
+    in-plan expression in tests/test_ann_ivf.py). nlist rows of math for
+    one point query replaces a full-plan scan + broadcast exchange."""
+    q_emb = _query_embedding(embeddings, query_vec_id)
+    if q_emb is None:
+        return [], None
+    qnorm = _seq_norm(q_emb)
+    scored = []
+    for cid, cemb in cents:
+        cos = _seq_dot(q_emb, cemb) / (qnorm * _seq_norm(cemb))
+        scored.append((-cos, cid))
+    scored.sort()
+    return [cid for _, cid in scored[: int(nprobe)]], q_emb
 
 
 def ivf_query_probes(
@@ -416,9 +534,9 @@ def ivf_query_probes(
     cents: list[tuple[int, list[float]]],
     nprobe: int,
 ) -> DataFrame:
-    """One row, one column `probe_cids`: the query's nprobe nearest
-    centroid ids (cos desc, cid asc — sorted as struct(-cos, cid) asc,
-    exact for IEEE orderings without NaN)."""
+    """One row, one column `probe_cids` — the in-plan (SQL-expression)
+    twin of `ivf_probe_cids`, kept as the equivalence witness: the
+    driver fold must reproduce these cids bit-exactly."""
     df = embeddings.filter(F.col("vec_id") == query_vec_id).withColumn(
         "__vnorm", _norm(F.col("embedding"))
     )
@@ -444,30 +562,27 @@ def ann_topk_ivf(
 ) -> DataFrame:
     """IVF-flat approximate top-k: exact cosine restricted to the
     query's nprobe nearest clusters. nprobe == nlist degenerates to
-    exact brute force (asserted in tests/test_ann_ivf.py)."""
+    exact brute force (asserted in tests/test_ann_ivf.py).
+
+    Round-6 shape (guide §2.4/§3): ONE scan of the table — the
+    assignment expression and the literal-query cosine run in the same
+    pass, with the probe set folded in as literals (driver math on the
+    collected query vector). The former plan evaluated the candidate
+    subtree twice (once for the scan, once inside cosine_topk's
+    broadcast), totalling 8 scans + 2 sort-merge joins."""
     cents = ivf_centroids(embeddings, nlist, stride)
-    assigned = ivf_assign(embeddings, cents)
-    probes = ivf_query_probes(embeddings, query_vec_id, cents, nprobe)
-    cands = (
-        assigned.crossJoin(F.broadcast(probes))
+    probes, q_emb = ivf_probe_cids(embeddings, query_vec_id, cents, nprobe)
+    if q_emb is None or not probes:
+        return _empty_topk(embeddings)
+    pool = (
+        embeddings.withColumn("__vnorm", _norm(F.col("embedding")))
+        .withColumn("__cid", _assign_cid_col(cents))
         .filter(
-            F.array_contains(F.col("probe_cids"), F.col("cid"))
+            F.col("__cid").isin([int(c) for c in probes])
             & (F.col("vec_id") != query_vec_id)
         )
-        .select("vec_id")
     )
-    # no distinct on the candidate ids: `assigned` is one row per
-    # vec_id by construction and left_semi is set-semantics anyway, so
-    # deduping here would be a full extra shuffle of the candidate set
-    # for nothing (at 10^9 vectors, the most expensive no-op in the plan)
-    pool = embeddings.join(
-        cands.union(
-            embeddings.filter(F.col("vec_id") == query_vec_id).select("vec_id")
-        ),
-        "vec_id",
-        "left_semi",
-    )
-    return cosine_topk(pool, query_vec_id, k, round_to)
+    return _cosine_topk_lit(pool, q_emb, k, round_to)
 
 
 def build_ivf_store(
@@ -476,10 +591,18 @@ def build_ivf_store(
     """Materialize the inverted file: embeddings written partitioned by
     centroid id. This is the at-scale artifact — candidate reads become
     partition-pruned scans (PartitionFilters on cid, asserted in
-    tests/test_ann_ivf.py), touching ~nprobe/nlist of the bytes."""
-    ivf_assign(embeddings, cents).join(embeddings, "vec_id").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(path)
+    tests/test_ann_ivf.py), touching ~nprobe/nlist of the bytes.
+    The cid is computed inline on the write scan (round 6) — the former
+    ivf_assign-then-self-join shape paid a full shuffle join to re-attach
+    the very column the scan can compute."""
+    cols = list(embeddings.columns)
+    (
+        embeddings.withColumn("__vnorm", _norm(F.col("embedding")))
+        .select(*cols, _assign_cid_col(cents).alias("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
 
 
 def ann_topk_ivf_store(
@@ -494,24 +617,15 @@ def ann_topk_ivf_store(
 ) -> DataFrame:
     """Query the materialized inverted file: identical results to the
     in-plan `ann_topk_ivf`, but the candidate scan reads only the probed
-    cid partitions."""
-    probe_cids = [
-        int(c)
-        for c in ivf_query_probes(embeddings, query_vec_id, cents, nprobe).collect()[
-            0
-        ]["probe_cids"]
-    ]
-    pool = (
-        spark.read.parquet(path)
-        .filter(F.col("cid").isin(probe_cids) & (F.col("vec_id") != query_vec_id))
-        .select("vec_id", "embedding")
-        .union(
-            embeddings.filter(F.col("vec_id") == query_vec_id).select(
-                "vec_id", "embedding"
-            )
-        )
+    cid partitions (driver-folded probe list -> PartitionFilters)."""
+    probes, q_emb = ivf_probe_cids(embeddings, query_vec_id, cents, nprobe)
+    if q_emb is None or not probes:
+        return _empty_topk(embeddings)
+    pool = spark.read.parquet(path).filter(
+        F.col("cid").isin([int(c) for c in probes])
+        & (F.col("vec_id") != query_vec_id)
     )
-    return cosine_topk(pool, query_vec_id, k, round_to)
+    return _cosine_topk_lit(pool, q_emb, k, round_to)
 
 
 def sql_ann_topk_ivf(
@@ -580,27 +694,25 @@ def ann_topk_lsh(
     bit flipped): the standard recall lever, costing n_planes+1 bucket
     lookups instead of 1 while still touching a ~2^-(n_planes-log2(n+1))
     fraction of the corpus. Recall is measured against brute force in
-    tests/test_ann_recall.py."""
-    buckets = lsh_buckets(embeddings, dim, n_planes, seed)
-    qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("qbucket")
-    )
-    allowed = F.col("bucket") == F.col("qbucket")
+    tests/test_ann_recall.py.
+
+    Round-6 shape: ONE scan — the bucket expression, the literal probe
+    set (query bucket folded on the driver, bit-identical to the in-plan
+    fold), and the literal-query cosine all run in the same pass. The
+    former plan joined a bucket relation against a broadcast of the
+    query's bucket, semi-joined the ids back (with a redundant distinct
+    — a pure extra shuffle of the candidate set, r5 verdict nit #1),
+    then re-evaluated that subtree inside cosine_topk's broadcast."""
+    q_emb = _query_embedding(embeddings, query_vec_id)
+    if q_emb is None:
+        return _empty_topk(embeddings)
+    qbucket = _driver_bucket(q_emb, dim, n_planes, seed)
+    allowed = [qbucket]
     if multiprobe >= 1:
-        for p in range(n_planes):
-            allowed = allowed | (
-                F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << p))
-            )
-    cands = (
-        buckets.crossJoin(F.broadcast(qb))
-        .filter(allowed & (F.col("vec_id") != query_vec_id))
-        .select("vec_id")
+        allowed += [qbucket ^ (1 << p) for p in range(n_planes)]
+    pool = embeddings.withColumn(
+        "__bucket", _bucket_col(dim, n_planes, seed)
+    ).filter(
+        F.col("__bucket").isin(allowed) & (F.col("vec_id") != query_vec_id)
     )
-    return cosine_topk(
-        embeddings.join(cands.union(
-            embeddings.filter(F.col("vec_id") == query_vec_id).select("vec_id")
-        ).distinct(), "vec_id", "left_semi"),
-        query_vec_id,
-        k,
-        round_to,
-    )
+    return _cosine_topk_lit(pool, q_emb, k, round_to)
