@@ -186,6 +186,12 @@ class InvertedIndex:
 
         self._block_cache: OrderedDict[tuple, pd.DataFrame] = OrderedDict()
         self._block_cache_bytes = 0
+        # one-shot whole-index block preload state (see
+        # _maybe_bulk_load_blocks): None = not yet decided, False =
+        # over-budget (stay per-term), True = preloaded
+        self._bulk_blocks: bool | None = None
+        self._bulk_empty: pd.DataFrame | None = None
+        self._total_df: int | None = None
         self._driver_theta: dict[str, float] = {}
         self._doclen_ids_cache = None
         for unit in ("refresh_postings", "stage3_postings"):
@@ -213,6 +219,26 @@ class InvertedIndex:
                 "store_positions=True"
             )
         buckets = sorted({term_bucket_py(t, self.n_term_buckets) for t in tokens})
+        df = self._blocks_relation(with_positions)
+        # one-shot SQL IN expression: Column.isin(tokens) costs a py4j
+        # round trip PER literal (~1.5 s at 2k terms, pure driver time);
+        # expr() ships one string and parses JVM-side. Same plan, same
+        # parquet row-group pushdown.
+        if not tokens:
+            return df.filter(F.lit(False))
+        # backslash FIRST, then quote: a term ending in '\' (reachable
+        # with remove_punctuation=False) must not escape the closing quote
+        quoted = ",".join(
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'" for t in tokens
+        )
+        return df.filter(F.col("bucket").isin(buckets)).filter(
+            F.expr(f"term IN ({quoted})")
+        )
+
+    def _blocks_relation(self, with_positions: bool) -> DataFrame:
+        """The postings block relation (built once per handle) with the
+        read-time impact bound folded in; position payload dropped before
+        any downstream operator unless requested."""
         if self._postings_df is None:
             self._postings_df = self.spark.read.parquet(
                 os.path.join(self.dir, "postings")
@@ -235,20 +261,7 @@ class InvertedIndex:
             )
         if not with_positions:
             df = df.drop("pos_payload")
-        # one-shot SQL IN expression: Column.isin(tokens) costs a py4j
-        # round trip PER literal (~1.5 s at 2k terms, pure driver time);
-        # expr() ships one string and parses JVM-side. Same plan, same
-        # parquet row-group pushdown.
-        if not tokens:
-            return df.filter(F.lit(False))
-        # backslash FIRST, then quote: a term ending in '\' (reachable
-        # with remove_punctuation=False) must not escape the closing quote
-        quoted = ",".join(
-            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'" for t in tokens
-        )
-        return df.filter(F.col("bucket").isin(buckets)).filter(
-            F.expr(f"term IN ({quoted})")
-        )
+        return df
 
     def postings_for(self, tokens: list[str], with_positions: bool = False) -> DataFrame:
         return _unpack_blocks(
@@ -265,6 +278,17 @@ class InvertedIndex:
     # kernel automatically.
     DRIVER_WAND_MAX_DF = 4_000_000
     BLOCK_CACHE_MAX_BYTES = 256 << 20  # driver posting-block LRU budget
+    # interactive whole-index preload gate: when the ENTIRE postings
+    # table's df total is under this cap (~8 payload bytes/posting ->
+    # <= ~64 MB, well inside the block-cache budget), the first
+    # driver-local query fetches every block in ONE pruned collect
+    # instead of paying a per-query Spark fetch job for each new term
+    # (measured ~0.15-0.25 s of scheduling per sequential interactive
+    # query at sf0.1 — the dominant cost of the wand_16 suite entry).
+    # Big deployments blow past the cap and keep per-term fetches +
+    # the distributed kernel; gate value is df-based (lexicon stats),
+    # not filesystem probing, so it is storage-agnostic.
+    BULK_PRELOAD_MAX_DF = int(os.environ.get("TIRS_BULK_PRELOAD_MAX_DF", "8000000"))
     DRIVER_NOT_MAX_DOCS = 2_000_000  # NOT complement needs the universe
     CONVMAP_DRIVER_CACHE_MAX = 5_000_000  # convs
 
@@ -298,6 +322,7 @@ class InvertedIndex:
                 os.path.join(self.dir, "lexicon")
             ).select("term", "df", "cf", "idf", "max_impact", "n_blocks").toPandas()
             self._full_lex = {r["term"]: r for r in pdf.to_dict("records")}
+            self._total_df = int(pdf["df"].sum() or 0)
         if self._full_lex is not None:
             rows = [self._full_lex[t] for t in tokens if t in self._full_lex]
             return pd.DataFrame(
@@ -698,6 +723,12 @@ class InvertedIndex:
         cols = list(wand.KERNEL_COLS) + (["pos_payload"] if with_positions else [])
         keys = [(t, with_positions) for t in tokens]
         missing = [t for t in tokens if (t, with_positions) not in self._block_cache]
+        if missing and not with_positions and self._maybe_bulk_load_blocks():
+            # whole index preloaded: anything still missing has no
+            # postings — negative-cache it as the shared empty frame
+            for t in missing:
+                self._block_cache.setdefault((t, False), self._bulk_empty)
+            missing = []
         if missing:
             pdf = (
                 self.blocks_for(missing, with_positions=with_positions)
@@ -728,6 +759,29 @@ class InvertedIndex:
         if not frames:
             return None
         return pd.concat(frames, ignore_index=True)
+
+    def _maybe_bulk_load_blocks(self) -> bool:
+        """One-shot driver preload of ALL posting blocks (no positions)
+        into the per-term block cache. Returns True when the cache holds
+        the whole index. Gated on the driver-cached lexicon's total df
+        (BULK_PRELOAD_MAX_DF) so the decision needs no extra Spark job
+        and no filesystem probing; decided once per handle. Positions
+        stay per-term — phrase queries are the rare consumer and their
+        payloads are several times larger."""
+        if self._bulk_blocks is not None:
+            return self._bulk_blocks
+        if self._full_lex is None or self._total_df is None:
+            return False  # lexicon not driver-cached: stay per-term
+        if self._total_df > self.BULK_PRELOAD_MAX_DF:
+            self._bulk_blocks = False
+            return False
+        pdf = self._blocks_relation(False).select(*wand.KERNEL_COLS).toPandas()
+        self._bulk_empty = pdf.iloc[0:0]
+        for t, g in pdf.groupby("term", sort=False):
+            self._block_cache[(t, False)] = g
+            self._block_cache_bytes += self._frame_bytes(g)
+        self._bulk_blocks = True
+        return True
 
     def _search_wand_driver_rows(
         self, term_meta: dict, k: int, qkey: str

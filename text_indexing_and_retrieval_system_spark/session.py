@@ -76,7 +76,9 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def warm_python_workers(spark: SparkSession, tasks: int | None = None) -> None:
+def warm_python_workers(
+    spark: SparkSession, tasks: int | None = None, build_path: bool = True
+) -> None:
     """Pre-fork executor Python workers and pay the pandas/numpy import
     once, off the measured path (on a real cluster executors are
     long-running, so this cost never recurs per job)."""
@@ -95,3 +97,56 @@ def warm_python_workers(spark: SparkSession, tasks: int | None = None) -> None:
     spark.range(0, tasks * 4, numPartitions=tasks).mapInPandas(
         noop, schema="id long"
     ).count()
+    if build_path:
+        warm_build_path(spark)
+
+
+def warm_build_path(spark: SparkSession) -> None:
+    """Pay the index-build pipeline's one-time JVM costs (whole-stage
+    codegen compilation, JIT of the shuffle/sort/parquet-writer paths,
+    committer init) on a ~100-conversation synthetic corpus, off the
+    measured path. Round-6 measurement: the FIRST build in a fresh
+    process runs 2-4x its steady state (18 s vs 4.6 s at the sf0.1 bench
+    geometry, repeats 1+ converge immediately), i.e. the recorded
+    index_build entry was mostly measuring JVM warm-up, not the build.
+    Long-running cluster executors never see this cost, so steady state
+    is the honest number. Failures are swallowed: warming is strictly
+    optional."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="tirs_warm_build_")
+    try:
+        from . import engine
+        from .operators.index_build import IndexBuildConfig
+        from .sources.transcripts import generate_transcripts
+
+        tdf = generate_transcripts(spark, 100, seed=7)
+        idx = engine.build(
+            spark,
+            tdf,
+            os.path.join(tmp, "idx"),
+            IndexBuildConfig(n_segment_chunks=1),
+            input_desc="warmup",
+        )
+        # also warm the query-side kernels (block fetch, scoring, driver
+        # merge) with terms that actually exist post-normalization —
+        # taken from the warm index's own lexicon
+        from pyspark.sql import functions as F
+
+        lex = (
+            spark.read.parquet(os.path.join(tmp, "idx", "lexicon"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(3)
+            .collect()
+        )
+        terms = [r["term"] for r in lex]
+        if len(terms) >= 2:
+            idx.search_collect(f'"{terms[0]}" OR "{terms[1]}"', k=5)
+            idx.search_batch(
+                [f'"{terms[0]}"', f'"{terms[1]}" OR "{terms[-1]}"'], k=5
+            )
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
