@@ -34,6 +34,7 @@ import json
 import os
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,14 +217,29 @@ def build_index(
             else:
                 os.remove(full)
 
+    # Materialized (persisted/cached) input changes the optimal chunk
+    # plan: tokenizing from the doc-store read-back exists to avoid a
+    # SECOND scan of raw input, but when the input relation is already
+    # materialized a re-scan is free — so stage 1 tokenizes straight
+    # from it and runs CONCURRENTLY with the stage-4 doc-store write
+    # (guide §2.6 "overlap independent jobs"; the two jobs share the
+    # cached scan). Cold/remote inputs keep the single-raw-scan order.
+    try:
+        lvl = transcripts.storageLevel
+        input_materialized = bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        input_materialized = False
+
     def run_chunk(chunk: int) -> None:
         chunk_seg = os.path.join(seg_root, f"chunk={chunk}")
         chunk_docs = os.path.join(docs_path, f"chunk={chunk}")
         lo = chunk * n_convs // n_chunks
         hi = (chunk + 1) * n_convs // n_chunks
 
-        unit4 = f"stage4_chunk_{chunk:03d}"
-        if not legacy_docs and not man.done(unit4):
+        def do_stage4() -> None:
+            unit4 = f"stage4_chunk_{chunk:03d}"
+            if legacy_docs or man.done(unit4):
+                return
             t0 = time.time()
             part = docs.filter((F.col("conv_int") >= lo) & (F.col("conv_int") < hi))
             (
@@ -241,10 +257,12 @@ def build_index(
             )
             man.record(unit4, conv_range=[lo, hi], seconds=time.time() - t0, **lineage)
 
-        unit1 = f"stage1_chunk_{chunk:03d}"
-        if not man.done(unit1):
+        def do_stage1(from_input: bool) -> None:
+            unit1 = f"stage1_chunk_{chunk:03d}"
+            if man.done(unit1):
+                return
             t0 = time.time()
-            if legacy_docs:
+            if legacy_docs or from_input:
                 part = docs.filter(
                     (F.col("conv_int") >= lo) & (F.col("conv_int") < hi)
                 )
@@ -262,8 +280,20 @@ def build_index(
                 **lineage,
             )
 
-        unit2 = f"stage2_chunk_{chunk:03d}"
-        if not man.done(unit2):
+        if input_materialized and not legacy_docs:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f4 = pool.submit(do_stage4)
+                f1 = pool.submit(do_stage1, True)
+                f4.result()
+                f1.result()
+        else:
+            do_stage4()
+            do_stage1(False)
+
+        def do_stage2() -> None:
+            unit2 = f"stage2_chunk_{chunk:03d}"
+            if man.done(unit2):
+                return
             t0 = time.time()
             from pyspark.sql import Observation
 
@@ -306,8 +336,10 @@ def build_index(
                 **lineage,
             )
 
-        unit3 = f"stage3_chunk_{chunk:03d}"
-        if not man.done(unit3):
+        def do_stage3() -> None:
+            unit3 = f"stage3_chunk_{chunk:03d}"
+            if man.done(unit3):
+                return
             t0 = time.time()
             # two shuffles by measurement: pack on (term, range_bucket) —
             # fine-grained, skew-free partitions for the big sort+pack —
@@ -333,7 +365,15 @@ def build_index(
             )
             man.record(unit3, seconds=time.time() - t0, **lineage)
 
-    from concurrent.futures import ThreadPoolExecutor
+        # doclen (stage 2) and block packing (stage 3) both read ONLY the
+        # chunk's segments — independent jobs, overlapped (guide §2.6):
+        # the small doclen write back-fills executors the pack stage's
+        # shuffle tail leaves idle
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f2 = pool.submit(do_stage2)
+            f3 = pool.submit(do_stage3)
+            f2.result()
+            f3.result()
 
     # finer scan splits for the build's own reads: the docs chunks are
     # written with 8 MB row groups, and a 16 MB split bin stops Spark
