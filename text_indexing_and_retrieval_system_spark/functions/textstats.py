@@ -19,7 +19,7 @@ PROBE_STOPWORDS = (
 
 def _toks(col):
     return F.filter(
-        F.split(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")), " "),
+        F.split(F.lower(col), "[^a-zA-Z0-9]+"),
         lambda x: x != "",
     )
 

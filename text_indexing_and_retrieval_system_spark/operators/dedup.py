@@ -56,7 +56,7 @@ def sql_exact_dedup_groups(min_group: int = 1) -> str:
 
 def _toks_array(docs: DataFrame):
     return F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        F.split(F.lower(F.col("text")), "[^a-zA-Z0-9]+"),
         lambda x: x != "",
     )
 

@@ -38,7 +38,7 @@ def simple_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, term, pos) — JVM-side only (split +
     posexplode stay inside whole-stage codegen; no Python)."""
     toks = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        F.split(F.lower(F.col("text")), "[^a-zA-Z0-9]+"),
         lambda x: x != "",
     )
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "term")).select(
@@ -64,7 +64,7 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _toks_col():
     return F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        F.split(F.lower(F.col("text")), "[^a-zA-Z0-9]+"),
         lambda x: x != "",
     )
 
@@ -197,7 +197,7 @@ def _tf_dl_projection(docs: DataFrame, terms: list[str]) -> DataFrame:
     Zero-token docs are dropped (they are outside the oracle's doclen
     universe)."""
     toks = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        F.split(F.lower(F.col("text")), "[^a-zA-Z0-9]+"),
         lambda x: x != "",
     )
     base = docs.select("doc_id", toks.alias("__toks"))
