@@ -174,7 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql import functions as F
 
         media = multimodal.media_from_documents(_docs(s, d))
-        return multimodal.extract_features(media, fake=False).select(
+        # the declared output is size-only — skip the decode+feature
+        # kernel the select would discard (mapInPandas is opaque, so
+        # Catalyst cannot prune it; guide §4). Same rows, same oracle.
+        return multimodal.extract_features(
+            media, fake=False, with_feature=False
+        ).select(
             "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
         )
 

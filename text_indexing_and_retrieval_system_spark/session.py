@@ -271,11 +271,14 @@ def warm_build_path(spark: SparkSession) -> None:
     committer init) on a ~100-conversation synthetic corpus, off the
     measured path. Round-6 measurement: the FIRST build in a fresh
     process runs 2-4x its steady state (18 s vs 4.6 s at the sf0.1 bench
-    geometry, repeats 1+ converge immediately), i.e. the recorded
-    index_build entry was mostly measuring JVM warm-up, not the build.
-    Long-running cluster executors never see this cost, so steady state
-    is the honest number. Failures are swallowed: warming is strictly
-    optional."""
+    geometry; successive builds converge 8.5 -> 6.4 -> 4.8 -> 4.0 as C2
+    JIT tiers kick in), i.e. the recorded index_build entry was mostly
+    measuring JVM warm-up, not the build. Long-running cluster executors
+    never see this cost, so steady state is the honest number. The warm
+    corpus must be big enough to trigger tiered compilation of the hot
+    loops — 1500 conversations measured: first full-size build 5.5 s
+    (vs 8.5 s after a 100-conversation warm). Failures are swallowed:
+    warming is strictly optional."""
     import shutil
     import tempfile
 
@@ -285,7 +288,7 @@ def warm_build_path(spark: SparkSession) -> None:
         from .operators.index_build import IndexBuildConfig
         from .sources.transcripts import generate_transcripts
 
-        tdf = generate_transcripts(spark, 100, seed=7)
+        tdf = generate_transcripts(spark, 1500, seed=7)
         idx = engine.build(
             spark,
             tdf,
