@@ -212,6 +212,22 @@ def worker_queryonly(cores: int, idx_path: str) -> None:
 PHASE_STAGE_DIR = "/dev/shm/tirs_phase_stage"
 
 
+def phase_stage_dir(n_convs: int) -> str:
+    """Staged artifacts keyed BY CORPUS SIZE. Round-5 ADVICE flagged a
+    150-hit delta between two same-protocol staged samples; round-6
+    root-cause: rebuilds are bit-deterministic across build paths
+    (verified: two 20k-conv indexes built from a generated DF vs a
+    parquet round-trip answer the full 256-query protocol set with
+    identical docs AND scores), but the staged idx/ path was SHARED
+    across n_convs values while the ready-marker was per-n_convs — so a
+    staged run could silently query an index from a different corpus
+    than its marker claimed (query pools regenerate from the staged
+    lexicon, so the mismatch shifts hit totals while looking
+    protocol-identical). Keying the artifact path by n_convs makes the
+    mismatch impossible."""
+    return os.path.join(PHASE_STAGE_DIR, str(n_convs))
+
+
 def stage_phase_inputs(n_convs: int) -> None:
     """Pre-build (once, untimed, at full parallelism) the inputs the
     isolated phase benchmarks read: raw transcripts + tokenized segments
@@ -227,18 +243,19 @@ def stage_phase_inputs(n_convs: int) -> None:
         generate_transcripts,
     )
 
-    marker = os.path.join(PHASE_STAGE_DIR, f"ready_{n_convs}.json")
+    stage = phase_stage_dir(n_convs)
+    marker = os.path.join(stage, f"ready_{n_convs}.json")
     if os.path.exists(marker):
         return
     spark = get_spark(app_name="tirs-phase-stage", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     df = generate_transcripts(spark, n_convs, seed=42, partitions=64)
-    df.write.mode("overwrite").parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))
-    tdf = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))
+    df.write.mode("overwrite").parquet(os.path.join(stage, "transcripts"))
+    tdf = spark.read.parquet(os.path.join(stage, "transcripts"))
     engine.build(
         spark,
         tdf,
-        os.path.join(PHASE_STAGE_DIR, "idx"),
+        os.path.join(stage, "idx"),
         IndexBuildConfig(n_segment_chunks=6, n_range_buckets=32),
         input_desc=f"phase-stage-{n_convs}",
     )
@@ -271,8 +288,9 @@ def worker_phases(cores: int, n_convs: int) -> None:
     cfg = IndexBuildConfig(n_segment_chunks=6, n_range_buckets=32)
     out = {"cores": cores}
 
-    tdf = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "transcripts"))
-    convmap = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "convmap"))
+    stage = phase_stage_dir(n_convs)
+    tdf = spark.read.parquet(os.path.join(stage, "transcripts"))
+    convmap = spark.read.parquet(os.path.join(stage, "idx", "convmap"))
     docs = ib.with_doc_ids(tdf, convmap)
     n_turns = tdf.count()
     out["n_turns"] = n_turns
@@ -283,15 +301,15 @@ def worker_phases(cores: int, n_convs: int) -> None:
     out["tokenize_turns_per_sec"] = round(n_turns / out["tokenize_sec"], 1)
     out["segment_rows"] = n_seg
 
-    segments = spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "segments", "chunk=*"))
+    segments = spark.read.parquet(os.path.join(stage, "idx", "segments", "chunk=*"))
     t0 = time.time()
     ib.build_blocks(segments, cfg, 30, n_partitions=32).count()
     out["pack_sec"] = round(time.time() - t0, 2)
     out["pack_rows_per_sec"] = round(n_seg / out["pack_sec"], 1)
 
-    idx = engine.load(spark, os.path.join(PHASE_STAGE_DIR, "idx"))
+    idx = engine.load(spark, os.path.join(stage, "idx"))
     lex = (
-        spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "lexicon"))
+        spark.read.parquet(os.path.join(stage, "idx", "lexicon"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(3000)
         .toPandas()
@@ -334,9 +352,11 @@ def worker_qsustained(cores: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark)
-    idx = engine.load(spark, os.path.join(PHASE_STAGE_DIR, "idx"))
+    _sc = os.environ.get("SCALE_STAGE_CONVS")
+    stage = phase_stage_dir(int(_sc)) if _sc else PHASE_STAGE_DIR
+    idx = engine.load(spark, os.path.join(stage, "idx"))
     lex = (
-        spark.read.parquet(os.path.join(PHASE_STAGE_DIR, "idx", "lexicon"))
+        spark.read.parquet(os.path.join(stage, "idx", "lexicon"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(3000)
         .toPandas()

@@ -724,11 +724,21 @@ class InvertedIndex:
         keys = [(t, with_positions) for t in tokens]
         missing = [t for t in tokens if (t, with_positions) not in self._block_cache]
         if missing and not with_positions and self._maybe_bulk_load_blocks():
-            # whole index preloaded: anything still missing has no
-            # postings — negative-cache it as the shared empty frame
+            # whole index preloaded: a missing term that is absent from
+            # the (driver-cached) lexicon has no postings — negative-
+            # cache the shared empty frame. A missing term that IS in
+            # the lexicon was LRU-EVICTED after the preload and must be
+            # re-fetched per-term (treating it as empty would silently
+            # drop its postings — caught by test_block_cache_lru_eviction)
+            refetch = []
             for t in missing:
-                self._block_cache.setdefault((t, False), self._bulk_empty)
-            missing = []
+                if (t, False) in self._block_cache:
+                    continue  # just preloaded
+                if t in self._full_lex:
+                    refetch.append(t)
+                else:
+                    self._block_cache[(t, False)] = self._bulk_empty
+            missing = refetch
         if missing:
             pdf = (
                 self.blocks_for(missing, with_positions=with_positions)
@@ -778,6 +788,9 @@ class InvertedIndex:
         pdf = self._blocks_relation(False).select(*wand.KERNEL_COLS).toPandas()
         self._bulk_empty = pdf.iloc[0:0]
         for t, g in pdf.groupby("term", sort=False):
+            old = self._block_cache.get((t, False))
+            if old is not None:  # fetched per-term before the lexicon cached
+                self._block_cache_bytes -= self._frame_bytes(old)
             self._block_cache[(t, False)] = g
             self._block_cache_bytes += self._frame_bytes(g)
         self._bulk_blocks = True

@@ -246,7 +246,15 @@ def lsh_candidate_pairs(
     docs: DataFrame, n: int = 3, n_hashes: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """(doc_a, doc_b): pairs whose signatures collide in >= 1 band.
-    The scale path: the only join is on (band_id, band_hash)."""
+
+    Round-6 shape: group doc ids per (band_id, band_hash) bucket and
+    emit the in-bucket pairs with array expressions — ONE pass over the
+    signatures and one shuffle. The former self-join computed the whole
+    tokenize->shingle->md5->minhash->band pipeline TWICE (once per join
+    side; the broadcast side is a different plan shape, so no
+    ReusedExchange) and at 10^9 docs would broadcast/shuffle the full
+    banded table a second time. Pair fan-out per bucket is m*(m-1)/2
+    either way (the join had the same blow-up on a hot bucket)."""
     sig = minhash_signatures(docs, n, n_hashes)
     banded = (
         sig.withColumn("band_id", (F.col("sig_id") / rows_per_band).cast("int"))
@@ -263,13 +271,24 @@ def lsh_candidate_pairs(
             ).alias("band_hash")
         )
     )
-    return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+    )
+    # (ds[i], ds[j]) for i < j: ids sorted ascending, so doc_a < doc_b
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ds"), i + 2, F.size("__ds")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.doc_a"), F.col("__p.doc_b"))
         .distinct()
     )
 
