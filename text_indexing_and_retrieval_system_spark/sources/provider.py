@@ -194,6 +194,8 @@ class IcebergProvider(TableProvider):
     the provider contract against the fake catalog instead.
     Re-attempted round 5 (2026-08-17): still no jar on the box and
     Maven Central still unreachable (curl HTTP 000) — unchanged.
+    Re-attempted round 6 (2026-08-21): curl rc=6 ("Could not resolve
+    host: repo1.maven.org") — no outbound DNS, unchanged.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
