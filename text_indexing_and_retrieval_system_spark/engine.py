@@ -279,16 +279,17 @@ class InvertedIndex:
     DRIVER_WAND_MAX_DF = 4_000_000
     BLOCK_CACHE_MAX_BYTES = 256 << 20  # driver posting-block LRU budget
     # interactive whole-index preload gate: when the ENTIRE postings
-    # table's df total is under this cap (~8 payload bytes/posting ->
-    # <= ~64 MB, well inside the block-cache budget), the first
-    # driver-local query fetches every block in ONE pruned collect
-    # instead of paying a per-query Spark fetch job for each new term
-    # (measured ~0.15-0.25 s of scheduling per sequential interactive
-    # query at sf0.1 — the dominant cost of the wand_16 suite entry).
-    # Big deployments blow past the cap and keep per-term fetches +
-    # the distributed kernel; gate value is df-based (lexicon stats),
-    # not filesystem probing, so it is storage-agnostic.
-    BULK_PRELOAD_MAX_DF = int(os.environ.get("TIRS_BULK_PRELOAD_MAX_DF", "8000000"))
+    # table's df total is under this cap (~12 payload bytes/posting ->
+    # ~200 MB, inside the block-cache budget), the first driver-local
+    # query fetches every block in ONE pruned collect instead of paying
+    # a per-query Spark fetch job for each new term (measured
+    # ~0.15-0.25 s of scheduling per sequential interactive query at
+    # sf0.1 — the dominant cost of the wand_16 suite entry). Big
+    # deployments blow past the cap (the 4.84M-turn scaling corpus is
+    # ~110M df) and keep per-term fetches + the distributed kernel;
+    # gate value is df-based (lexicon stats), not filesystem probing,
+    # so it is storage-agnostic.
+    BULK_PRELOAD_MAX_DF = int(os.environ.get("TIRS_BULK_PRELOAD_MAX_DF", "16000000"))
     DRIVER_NOT_MAX_DOCS = 2_000_000  # NOT complement needs the universe
     CONVMAP_DRIVER_CACHE_MAX = 5_000_000  # convs
 
