@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGE = "/dev/shm/tirs_phase_stage"
+STAGE = os.environ.get("TIRS_STAGE", "/dev/shm/tirs_phase_stage/768000")  # size-keyed since round 6
 
 
 def main() -> None:
